@@ -1,0 +1,193 @@
+"""Engine configuration.
+
+Thresholds and caps carried over verbatim from the reference's model config
+(reference: model_config.py:10-94, utils/common_utils.py:32) because they are
+observable pass/fail semantics, plus our engine-side execution knobs.
+
+Config objects round-trip through plain dicts (reference pattern:
+metric_config.py:9-124 serializes timedeltas as seconds) and can be
+overridden via the ``ADR_CONFIG`` env var holding JSON (reference pattern:
+LHM_AD_MODEL_CONFIG, model_config.py:112-131).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+# ---------------------------------------------------------------------------
+# Reference-verbatim model constants (model_config.py / common_utils.py)
+# ---------------------------------------------------------------------------
+
+#: 95% confidence (reference: utils/common_utils.py:32  DEFAULT_SENSITIVITY).
+DEFAULT_ALPHA = 0.05
+
+#: CI width in residual stddevs when using residual-based intervals
+#: (reference: model_config.py:91-94  num_std_for_residuals=3).
+NUM_STD_FOR_RESIDUALS = 3.0
+
+#: Tables older than this are "static" → Fresh without prediction
+#: (reference: model_config.py:18-19  static_table_age_days=30).
+STATIC_TABLE_AGE_SECONDS = 30 * 24 * 3600
+
+#: Training caps (reference: model_config.py:21-25).
+MAX_COMMIT_TRAINING_POINTS = 1000
+MAX_BACKTEST_TRAINING_POINTS = 200
+MAX_EVENT_TRAINING_POINTS = 360
+
+#: History fetch caps (reference: utils/table_history_utils.py:60-92).
+MAX_HISTORY_COMMITS = 1000
+MAX_LOOKBACK_DAYS = 14
+
+#: Completeness guards (reference: model_config.py:27,33).
+MIN_COMMITS_FOR_COMPLETENESS = 2
+MIN_DAILY_BUCKETS = 7          # ≤7 buckets → NOT_ENOUGH_TABLE_HISTORY
+
+#: Seasonality inference (reference: utils/common_utils.py:209-277,
+#: model_config.py:75-94).
+ACF_MAX_LAGS = 52
+ACF_SIGNIFICANCE = 0.65
+MIN_TRAINING_POINTS_BEFORE_SYNTH = 250
+
+#: Synthetic-jitter bound (reference: utils/common_utils.py:164-206):
+#: uniform int jitter ±min(median//10, 600), np.random.seed(0).
+SYNTH_JITTER_CAP_SECONDS = 600
+SYNTH_SEED = 0
+
+#: Grace-period heuristic breakpoints, seconds
+#: (reference: freshness_utils.py:488-610 — exact observable semantics).
+COMMIT_GRACE_SMALL_MEDIAN = 30 * 60      # Δmed < 30min branch
+COMMIT_GRACE_FLOOR = 15 * 60             # grace = max(Δmed, 15min)
+COMMIT_GRACE_CAP = 12 * 3600             # else grace = min(12h, 0.5·Δmed)
+EVENT_GRACE_SMALL_MEDIAN = 30 * 60       # event variant breakpoints 30/60min
+EVENT_GRACE_FLOOR = 60 * 60
+
+#: SPOT defaults (reference: third_party/spot.py — q, init level).
+SPOT_RISK_Q = 1e-4
+SPOT_INIT_LEVEL = 0.98
+DSPOT_DEPTH = 10
+
+#: Huber-deviation tolerance (reference: third_party/univariate.py:14-93
+#: — anomaly iff residual beyond ±5·scale; <10 points → error).
+HUBER_TOLERANCE = 5.0
+HUBER_MIN_POINTS = 10
+HUBER_MAX_ITER = 200
+
+#: Update-operation whitelist (reference: utils/table_history_utils.py:17-28).
+UPDATE_OPERATIONS = (
+    "WRITE",
+    "CREATE TABLE",
+    "CREATE TABLE AS SELECT",
+    "REPLACE TABLE AS SELECT",
+    "COPY INTO",
+    "STREAMING UPDATE",
+    "MERGE",
+    "UPDATE",
+    "CREATE OR REPLACE TABLE AS SELECT",
+    "CLONE",
+)
+
+#: operation → row-volume metric key (reference: completeness_utils.py:48-58).
+OPERATION_ROW_METRIC = {
+    "WRITE": "numOutputRows",
+    "CREATE TABLE AS SELECT": "numOutputRows",
+    "REPLACE TABLE AS SELECT": "numOutputRows",
+    "CREATE OR REPLACE TABLE AS SELECT": "numOutputRows",
+    "COPY INTO": "numOutputRows",
+    "STREAMING UPDATE": "numOutputRows",
+    "CLONE": "numOutputRows",
+    "MERGE": "numTargetRowsInserted",
+    "UPDATE": "numUpdatedRows",
+}
+DELETED_ROWS_METRIC = "numDeletedRows"
+
+#: Audio-invariant threshold (BASELINE.json input_hint): decoded PCM must
+#: match the reference decode with SNR ≥ 30 dB.
+MIN_SNR_DB = 30.0
+
+#: dur_ms consistency tolerance (ms) between the column and decoded length.
+DUR_MS_TOLERANCE = 1
+
+
+# ---------------------------------------------------------------------------
+# Engine execution config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SuiteConfig:
+    """Configuration for one validation-suite run (reference analogue:
+    MetricConfig / FreshnessConfig / CompletenessConfig, metric_config.py)."""
+
+    dataset: str = "clips"
+    #: number of logical partitions (lineage units) the table is split into
+    num_partitions: int = 16
+    #: salt fan-out for skewed group keys (codec/sr_hz); 1 = no salting
+    skew_salt: int = 8
+    #: checks to run; order is report order
+    checks: tuple = (
+        "schema",
+        "null_rate",
+        "column_stats",
+        "uniqueness",
+        "referential",
+        "audio_decode",
+        "drift",
+    )
+    #: per-table constant-threshold overrides (reference:
+    #: freshness_checker.py:63-65 per-table threshold overrides)
+    null_rate_threshold: float = 0.005
+    uniqueness_key: str = "clip_id"
+    drift_ks_threshold: float = 0.15
+    drift_chi2_pvalue: float = 0.01
+    #: batch size for the binary-heavy decode stage (small on purpose)
+    decode_batch_size: int = 256
+    decode_concurrency: int = 4
+    #: generic stats batch size
+    stats_batch_size: int = 8192
+    alpha: float = DEFAULT_ALPHA
+
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["checks"] = list(self.checks)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "SuiteConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "checks" in kwargs:
+            kwargs["checks"] = tuple(kwargs["checks"])
+        return cls(**kwargs)
+
+    @classmethod
+    def from_env(cls, base: "SuiteConfig | None" = None) -> "SuiteConfig":
+        """Apply ``ADR_CONFIG`` JSON overrides (reference pattern:
+        LHM_AD_MODEL_CONFIG env override, model_config.py:112-131)."""
+        cfg = base or cls()
+        raw = os.environ.get("ADR_CONFIG")
+        if raw:
+            d = cfg.to_dict()
+            d.update(json.loads(raw))
+            cfg = cls.from_dict(d)
+        return cfg
+
+
+@dataclass
+class ForecastConfig:
+    """Numpy AR-forecaster knobs (reference analogue: AutoArimaModelConfig,
+    model_config.py:75-94 — semantics kept: seasonality via ACF, CI =
+    ±num_std·std(residuals), min_val clamp)."""
+
+    max_ar_order: int = 3
+    alpha: float = DEFAULT_ALPHA
+    num_std_for_residuals: float = NUM_STD_FOR_RESIDUALS
+    acf_significance: float = ACF_SIGNIFICANCE
+    acf_max_lags: int = ACF_MAX_LAGS
+    min_points_before_synth: int = MIN_TRAINING_POINTS_BEFORE_SYNTH
+    use_synthetic_data: bool = True
+    max_grace_period_minutes: int = -1  # testing hook (model_config.py:14-15)

@@ -1,0 +1,165 @@
+"""Audio payload encode/decode — pure stdlib + numpy.
+
+The clips table carries opaque ``bytes`` audio payloads with a ``codec``
+column ∈ {pcm16, pcm8, f32, ulaw} (FIXTURES.md F1).  Payloads are minimal
+RIFF/WAVE containers (format tags 1 = integer PCM, 3 = IEEE float,
+7 = G.711 µ-law) written and parsed here directly — no external codec
+libraries exist in this environment (SURVEY.md §7.0), and a hand-rolled
+parser keeps the decode stage fully vectorized.
+
+Decode returns float32 PCM in [-1, 1].  The per-row invariant
+(BASELINE.json input_hint) is SNR(reference_signal, decoded) ≥ 30 dB —
+8-bit PCM gives ~50 dB and µ-law ~38 dB for well-scaled signals, so any
+honest payload passes and corrupt/truncated payloads fail.
+
+This module is the binary-data analogue of the reference's only binary
+path (cloudpickled model blobs through a Spark binary column,
+third_party/common.py:177-220).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+CODECS = ("pcm16", "pcm8", "f32", "ulaw")
+
+_FMT_TAG = {"pcm16": 1, "pcm8": 1, "f32": 3, "ulaw": 7}
+_BITS = {"pcm16": 16, "pcm8": 8, "f32": 32, "ulaw": 8}
+
+
+class AudioDecodeError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# µ-law (G.711) tables — computed once at import
+# ---------------------------------------------------------------------------
+
+def _build_ulaw_decode_table() -> np.ndarray:
+    """256-entry µ-law byte → float32 in [-1, 1] (G.711 standard decode)."""
+    u = np.arange(256, dtype=np.uint8)
+    u = ~u
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exponent = ((u >> 4) & 0x07).astype(np.int32)
+    mantissa = (u & 0x0F).astype(np.int32)
+    magnitude = ((mantissa << 3) + 0x84).astype(np.int64) << exponent
+    magnitude = magnitude - 0x84
+    return (sign * magnitude / 32768.0).astype(np.float32)
+
+
+_ULAW_DECODE = _build_ulaw_decode_table()
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] → µ-law bytes (vectorized G.711 encode)."""
+    x = np.clip(x, -1.0, 1.0)
+    pcm = (x * 32768.0).astype(np.int64)
+    sign = (pcm < 0).astype(np.uint8) << 7
+    mag = np.abs(pcm).clip(max=32635) + 0x84
+    exponent = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int64)
+    mantissa = ((mag >> (exponent + 3)) & 0x0F).astype(np.uint8)
+    byte = ~(sign | (exponent.astype(np.uint8) << 4) | mantissa)
+    return byte.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE encode
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(signal: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    """Encode a float signal in [-1,1] as a RIFF/WAVE payload."""
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}")
+    x = np.clip(np.asarray(signal, dtype=np.float64), -1.0, 1.0)
+    if codec == "pcm16":
+        frames = (x * 32767.0).round().astype("<i2").tobytes()
+    elif codec == "pcm8":
+        frames = ((x * 127.0).round() + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif codec == "f32":
+        frames = x.astype("<f4").tobytes()
+    else:  # ulaw
+        frames = ulaw_encode(x).tobytes()
+    bits = _BITS[codec]
+    tag = _FMT_TAG[codec]
+    block_align = bits // 8
+    byte_rate = sr_hz * block_align
+    fmt = struct.pack("<HHIIHH", tag, 1, sr_hz, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE decode
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, str]:
+    """Parse a RIFF/WAVE payload → (float32 signal in [-1,1], sr_hz, codec).
+
+    Raises AudioDecodeError on malformed/truncated payloads.
+    """
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared + 8 > len(payload):
+        raise AudioDecodeError("truncated payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if len(chunk) < size:
+            raise AudioDecodeError(f"truncated {chunk_id!r} chunk")
+        if chunk_id == b"fmt ":
+            fmt = chunk
+        elif chunk_id == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise AudioDecodeError("missing fmt/data chunk")
+    tag, channels, sr_hz, _rate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if channels != 1:
+        raise AudioDecodeError(f"unsupported channel count {channels}")
+    if tag == 1 and bits == 16:
+        codec = "pcm16"
+        if len(data) % 2:
+            raise AudioDecodeError("odd pcm16 data length")
+        sig = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    elif tag == 1 and bits == 8:
+        codec = "pcm8"
+        sig = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+    elif tag == 3 and bits == 32:
+        codec = "f32"
+        if len(data) % 4:
+            raise AudioDecodeError("odd f32 data length")
+        sig = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        if not np.isfinite(sig).all():
+            raise AudioDecodeError("non-finite f32 samples")
+    elif tag == 7 and bits == 8:
+        codec = "ulaw"
+        sig = _ULAW_DECODE[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise AudioDecodeError(f"unsupported format tag={tag} bits={bits}")
+    return sig, int(sr_hz), codec
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB between reference and decoded PCM."""
+    n = min(reference.size, decoded.size)
+    if n == 0 or reference.size != decoded.size:
+        return -np.inf
+    ref = reference[:n].astype(np.float64)
+    err = ref - decoded[:n].astype(np.float64)
+    p_sig = float((ref**2).sum())
+    p_err = float((err**2).sum())
+    if p_err == 0:
+        return np.inf
+    if p_sig == 0:
+        return -np.inf
+    return 10.0 * np.log10(p_sig / p_err)

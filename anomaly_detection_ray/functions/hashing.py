@@ -1,0 +1,82 @@
+"""Deterministic, vectorized 64-bit hashing.
+
+Everything sketch-related (HLL registers, bloom bits, minhash signatures,
+hash-partition keys) must hash identically in every worker process and on
+every run — Python's builtin ``hash`` on strings is salted per process and
+must never be used.  We build on ``pandas.util.hash_array`` (SipHash-style,
+C-vectorized, fixed default key, deterministic across processes/platforms)
+and derive k independent hash functions with the Kirsch–Mitzenmacher
+double-hashing construction h_i = h1 + i·h2 (mod 2^64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_KEY1 = "0123456789123456"  # pandas' documented default hash key
+_KEY2 = "fedcba9876543210"
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _to_numpy(values) -> np.ndarray:
+    """Coerce an Arrow array / ChunkedArray / pandas Series / ndarray to a
+    numpy array suitable for ``pd.util.hash_array``."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        # to_pandas gives object dtype for strings/binary — fine for hashing
+        values = values.to_pandas()
+    if isinstance(values, pd.Series):
+        values = values.to_numpy()
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("U", "S"):
+        arr = arr.astype(object)
+    return arr
+
+
+def hash64(values, key: str = _KEY1) -> np.ndarray:
+    """Deterministic uint64 hash of each element (vectorized)."""
+    arr = _to_numpy(values)
+    if arr.dtype == object:
+        # None/NaN hash to a fixed value via categorize=False default path
+        return pd.util.hash_array(arr, hash_key=key).astype(np.uint64)
+    return pd.util.hash_array(arr, hash_key=key).astype(np.uint64)
+
+
+def hash64_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per element."""
+    arr = _to_numpy(values)
+    h1 = pd.util.hash_array(arr, hash_key=_KEY1).astype(np.uint64)
+    h2 = pd.util.hash_array(arr, hash_key=_KEY2).astype(np.uint64)
+    # h2 must be odd for double-hashing to cover the space
+    h2 = np.bitwise_or(h2, np.uint64(1))
+    return h1, h2
+
+
+def k_hashes(values, k: int) -> np.ndarray:
+    """(n, k) matrix of k derived hashes per element (Kirsch–Mitzenmacher)."""
+    h1, h2 = hash64_pair(values)
+    ks = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + ks[None, :] * h2[:, None]) & _MASK64
+
+
+def bucket_of(values, num_buckets: int) -> np.ndarray:
+    """Deterministic hash-partition bucket per element (int64 in [0, B))."""
+    return (hash64(values) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def combine_columns(*cols) -> np.ndarray:
+    """Hash of a tuple of columns (order-sensitive), vectorized."""
+    acc = None
+    for i, c in enumerate(cols):
+        h = hash64(c, key=_KEY1 if i % 2 == 0 else _KEY2)
+        if acc is None:
+            acc = h
+        else:
+            with np.errstate(over="ignore"):
+                acc = (acc * np.uint64(0x9E3779B97F4A7C15) + h) & _MASK64
+    return acc

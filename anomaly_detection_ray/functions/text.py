@@ -1,0 +1,162 @@
+"""Vectorized text analysis for the documents / transcript columns.
+
+Training-data-pipeline text ops: token counting, quality scoring,
+language-ID heuristic, fingerprinting, shingling for near-dup detection.
+All batch-level (pandas Series in / numpy out) — no per-row Python in hot
+paths except where a doc-level set operation is inherent (shingle sets),
+and those loop over docs, not characters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from anomaly_detection_ray.functions.hashing import hash64
+
+_WS = re.compile(r"\s+")
+#: BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+#: (the common GPT-2-style contraction/word/number split, public domain regex)
+_BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "que"},
+    "zh": set(),  # han-script detection below
+}
+
+
+def token_count_ws(texts: pd.Series) -> np.ndarray:
+    """Whitespace token counts (empty/null → 0)."""
+    s = texts.fillna("").str.strip()
+    n = s.str.split(_WS).map(len).to_numpy()
+    return np.where(s.str.len().to_numpy() == 0, 0, n).astype(np.int64)
+
+
+def token_count_bpeish(texts: pd.Series) -> np.ndarray:
+    """Approximate subword token counts via a GPT-2-style pre-tokenizer."""
+    return texts.fillna("").map(lambda t: len(_BPEISH.findall(t))).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc quality features: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    toks = s.str.lower().str.split(_WS)
+    toks = toks.map(lambda ws: [w for w in ws if w])
+    n_tokens = toks.map(len).to_numpy(dtype=np.int64)
+    mean_tok = np.where(
+        n_tokens > 0,
+        toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0).to_numpy(),
+        0.0,
+    )
+    n_punct = s.str.count(_PUNCT).to_numpy(dtype=np.int64)
+    stop = _LANG_PROFILES["en"]
+    stop_ratio = np.where(
+        n_tokens > 0,
+        toks.map(lambda ws: sum(w in stop for w in ws)).to_numpy() / np.maximum(n_tokens, 1),
+        0.0,
+    )
+    n_alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": mean_tok,
+            "punct_ratio": n_punct / np.maximum(n_chars, 1),
+            "stopword_ratio": stop_ratio,
+            "alpha_ratio": n_alpha / np.maximum(n_chars, 1),
+        }
+    )
+
+
+def quality_score(texts: pd.Series) -> np.ndarray:
+    """Composite [0,1] quality score (length / punct / stopword mix)."""
+    f = quality_features(texts)
+    len_score = np.clip(f["n_tokens"].to_numpy() / 20.0, 0, 1)
+    punct_ok = 1.0 - np.clip(f["punct_ratio"].to_numpy() * 4.0, 0, 1)
+    alpha_ok = np.clip(f["alpha_ratio"].to_numpy() * 1.5, 0, 1)
+    return np.round(0.5 * len_score + 0.2 * punct_ok + 0.3 * alpha_ok, 6)
+
+
+def detect_language(texts: pd.Series) -> np.ndarray:
+    """Heuristic language ID: han-script ratio → zh, else best stopword-
+    profile hit, else 'unknown'. Deterministic; rows-only correctness
+    (no SQL oracle can express this)."""
+    s = texts.fillna("")
+    out = np.full(len(s), "unknown", dtype=object)
+    han = s.str.count(r"[一-鿿]").to_numpy()
+    n_chars = np.maximum(s.str.len().to_numpy(), 1)
+    toks = s.str.lower().str.split(_WS).map(lambda ws: [w for w in ws if w])
+    for i, ws in enumerate(toks):
+        if han[i] / n_chars[i] > 0.2:
+            out[i] = "zh"
+            continue
+        if not ws:
+            continue
+        best, best_hits = "unknown", 0
+        for lang, prof in _LANG_PROFILES.items():
+            if not prof:
+                continue
+            hits = sum(w in prof for w in ws)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out[i] = best if best_hits > 0 else "en" if all(w.isascii() for w in ws) else "unknown"
+    return out
+
+
+def md5_fingerprint(texts: pd.Series) -> np.ndarray:
+    """Exact content fingerprint = md5 hex digest (oracle: DuckDB md5())."""
+    return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()).to_numpy()
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer et al. 2003): k-gram
+    rolling hashes, keep the min of each sliding window, dedup."""
+    if text is None or len(text) < k:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
+    h = hash64(grams)
+    if h.size <= window:
+        return np.unique(h)
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles of one document (unique set)."""
+    if text is None or len(text) < k:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
+    return np.unique(hash64(grams))
+
+
+def word_ngram_sets(texts: pd.Series, n: int = 3) -> list[np.ndarray]:
+    """Hashed word n-gram sets per document (for exact Jaccard verify)."""
+    out: list[np.ndarray] = []
+    for t in texts.fillna(""):
+        ws = [w for w in _WS.split(t.strip()) if w]
+        if len(ws) < n:
+            out.append(np.unique(hash64(np.array([" ".join(ws)], dtype=object))) if ws else np.empty(0, dtype=np.uint64))
+            continue
+        grams = np.array([" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)], dtype=object)
+        out.append(np.unique(hash64(grams)))
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard similarity of two sorted-unique hash sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)

@@ -1,0 +1,300 @@
+"""Pass/fail verdict rules — pure functions over toy-sized series.
+
+Re-implements the reference's freshness / completeness decision semantics
+(rules F6-F14 in SURVEY.md §2.4) with its exact observable thresholds:
+
+- Fresh iff eval_ts ≤ upper confidence bound on the next commit time
+  (freshness_utils.py:139-231);
+- static-table short-circuit at 30 days (freshness_utils.py:459-485);
+- constant-threshold overrides (freshness_utils.py:431-456);
+- grace-period alert heuristic with the 15min/30min/12h breakpoints
+  (freshness_utils.py:488-610 — ported as semantics, not code);
+- completeness: Unhealthy iff last daily volume < max(int(lower CI), 0),
+  guards <2 commits / ≤7 buckets (completeness_utils.py:106-237).
+
+Everything here is driver-free: these run inside per-partition
+``map_groups`` / actor stages; errors are funneled into Unknown verdicts
+by the caller (reference error funnel: errors.py:33-42).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from anomaly_detection_ray.config import (
+    COMMIT_GRACE_CAP,
+    COMMIT_GRACE_FLOOR,
+    COMMIT_GRACE_SMALL_MEDIAN,
+    EVENT_GRACE_FLOOR,
+    EVENT_GRACE_SMALL_MEDIAN,
+    MAX_COMMIT_TRAINING_POINTS,
+    MIN_COMMITS_FOR_COMPLETENESS,
+    MIN_DAILY_BUCKETS,
+    NUM_STD_FOR_RESIDUALS,
+    STATIC_TABLE_AGE_SECONDS,
+)
+from anomaly_detection_ray.functions.forecast import fit_ar
+
+# ---------------------------------------------------------------------------
+# Status enums + display ordering (reference: freshness_info.py:17-29,
+# completeness_info.py:14-24; Fresh/Stale renamed Healthy/Unhealthy at
+# output time behind a flag, freshness_checker.py:492-497 — we emit the
+# renamed form by default, keeping the legacy names accessible)
+# ---------------------------------------------------------------------------
+
+FRESH = "Fresh"
+STALE = "Stale"
+HEALTHY = "Healthy"
+UNHEALTHY = "Unhealthy"
+UNKNOWN = "Unknown"
+SKIPPED = "Skipped"
+
+#: display ordering: violations first (freshness_info.py:24-29)
+FRESHNESS_STATUS_ORDER = [STALE, FRESH, UNKNOWN, SKIPPED]
+HEALTH_STATUS_ORDER = [UNHEALTHY, HEALTHY, UNKNOWN, SKIPPED]
+
+#: error codes (subset of the reference's 11-value taxonomy, errors.py:5-16)
+ERR_NOT_ENOUGH_UPDATE_OP = "NOT_ENOUGH_UPDATE_OPERATIONS"
+ERR_NOT_ENOUGH_HISTORY = "NOT_ENOUGH_TABLE_HISTORY"
+ERR_FAILED_TO_FIT = "FAILED_TO_FIT_MODEL"
+ERR_INTERNAL = "INTERNAL_ERROR"
+ERR_DECODE = "PAYLOAD_DECODE_ERROR"
+
+
+def status_rank(status: str, order: list[str] = HEALTH_STATUS_ORDER) -> int:
+    try:
+        return order.index(status)
+    except ValueError:
+        return len(order)
+
+
+def format_duration(seconds: Optional[float]) -> Optional[str]:
+    """Seconds → 'N day(s) N hr N min' / 'N sec' (reference M6,
+    freshness_utils.py:58-81; None-safe)."""
+    if seconds is None or not np.isfinite(seconds):
+        return None
+    seconds = int(seconds)
+    if seconds < 60:
+        return f"{seconds} sec"
+    days, rem = divmod(seconds, 86400)
+    hrs, rem = divmod(rem, 3600)
+    mins = rem // 60
+    parts = []
+    if days:
+        parts.append(f"{days} day(s)")
+    if hrs:
+        parts.append(f"{hrs} hr")
+    if mins or not parts:
+        parts.append(f"{mins} min")
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Freshness (commit cadence) — F6/F8/F10/F11/F12
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FreshnessVerdict:
+    status: str
+    predicted_upper_bound_ts: Optional[float] = None   # epoch seconds
+    predicted_next_ts: Optional[float] = None
+    last_update_ts: Optional[float] = None
+    staleness_age_seconds: float = 0.0
+    is_static: bool = False
+    error_code: Optional[str] = None
+    debug: dict = field(default_factory=dict)
+
+
+def commit_grace_seconds(durations: np.ndarray) -> float:
+    """Grace period from the median inter-commit gap (reference F11,
+    freshness_utils.py:488-610): Δmed < 30min → max(Δmed, 15min);
+    else min(12h, 0.5·Δmed)."""
+    if durations.size == 0:
+        return COMMIT_GRACE_FLOOR
+    med = float(np.median(durations))
+    if med < COMMIT_GRACE_SMALL_MEDIAN:
+        return max(med, COMMIT_GRACE_FLOOR)
+    return min(COMMIT_GRACE_CAP, 0.5 * med)
+
+
+def event_grace_seconds(latencies: np.ndarray) -> float:
+    """Event-latency variant with 30/60-min breakpoints (reference F11)."""
+    if latencies.size == 0:
+        return EVENT_GRACE_FLOOR
+    med = float(np.median(latencies))
+    if med < EVENT_GRACE_SMALL_MEDIAN:
+        return max(med, EVENT_GRACE_FLOOR)
+    return min(COMMIT_GRACE_CAP, 0.5 * med)
+
+
+def check_commit_freshness(
+    commit_ts: np.ndarray,
+    eval_ts: float,
+    *,
+    constant_threshold_seconds: Optional[float] = None,
+    static_age_seconds: float = STATIC_TABLE_AGE_SECONDS,
+    max_grace_period_minutes: int = -1,
+    num_std: float = NUM_STD_FOR_RESIDUALS,
+) -> FreshnessVerdict:
+    """The freshness dispatcher (reference F12, freshness_utils.py:661-752):
+    static? → constant override? → AR forecast of the next inter-commit
+    duration + grace heuristic.  All timestamps are epoch seconds.
+    """
+    ts = np.sort(np.asarray(commit_ts, dtype=np.float64))
+    if ts.size == 0:
+        return FreshnessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
+    last = float(ts[-1])
+
+    # F10: static-table short-circuit (Fresh, no prediction)
+    if eval_ts - last > static_age_seconds and constant_threshold_seconds is None:
+        return FreshnessVerdict(HEALTHY, last_update_ts=last, is_static=True,
+                                debug={"reason": "static_table"})
+
+    # F8: constant-threshold override
+    if constant_threshold_seconds is not None:
+        bound = last + constant_threshold_seconds
+        ok = eval_ts <= bound
+        return FreshnessVerdict(
+            HEALTHY if ok else UNHEALTHY,
+            predicted_upper_bound_ts=bound,
+            last_update_ts=last,
+            staleness_age_seconds=max(eval_ts - bound, 0.0),
+            debug={"rule": "constant_threshold",
+                   "threshold_seconds": str(int(constant_threshold_seconds))},
+        )
+
+    if ts.size < 2:
+        # ≤1 update point → Unknown (reference F6 guard)
+        return FreshnessVerdict(UNKNOWN, last_update_ts=last,
+                                error_code=ERR_NOT_ENOUGH_UPDATE_OP)
+
+    durations = np.diff(ts)[-MAX_COMMIT_TRAINING_POINTS:]
+    try:
+        model = fit_ar(durations)
+        res = model.predict_next(num_std)
+    except Exception:
+        return FreshnessVerdict(UNKNOWN, last_update_ts=last,
+                                error_code=ERR_FAILED_TO_FIT)
+    predicted = max(res.forecast, res.min_val if res.forecast <= 0 else res.forecast)
+    upper = last + max(res.upper, 0.0)
+
+    # F11 grace-period adjustment: bound = max(CI upper, predicted + grace)
+    grace = commit_grace_seconds(durations)
+    if max_grace_period_minutes >= 0:
+        grace = min(grace, max_grace_period_minutes * 60.0)
+    upper = max(upper, last + predicted + grace)
+
+    ok = eval_ts <= upper
+    return FreshnessVerdict(
+        HEALTHY if ok else UNHEALTHY,
+        predicted_upper_bound_ts=upper,
+        predicted_next_ts=last + predicted,
+        last_update_ts=last,
+        staleness_age_seconds=max(eval_ts - upper, 0.0),
+        debug={
+            "rule": "ar_forecast",
+            "predicted_duration_seconds": str(int(predicted)),
+            "grace_seconds": str(int(grace)),
+            "residual_std": str(round(res.residual_std, 3)),
+            "seasonal_period": str(res.period),
+        },
+    )
+
+
+def check_event_freshness(
+    latencies_seconds: np.ndarray,
+    actual_latency_seconds: float,
+    *,
+    constant_threshold_seconds: Optional[float] = None,
+    num_std: float = NUM_STD_FOR_RESIDUALS,
+) -> FreshnessVerdict:
+    """Event-latency freshness (reference F7/F9, freshness_utils.py:350-428,
+    613-658): train on historical latencies, Fresh iff the actual latest
+    latency ≤ forecast upper bound (or a constant threshold)."""
+    lat = np.asarray(latencies_seconds, dtype=np.float64)
+    if constant_threshold_seconds is not None:
+        ok = actual_latency_seconds <= constant_threshold_seconds
+        return FreshnessVerdict(
+            HEALTHY if ok else UNHEALTHY,
+            staleness_age_seconds=max(actual_latency_seconds - constant_threshold_seconds, 0.0),
+            debug={"rule": "event_constant_threshold"},
+        )
+    if lat.size < 3:
+        return FreshnessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_HISTORY)
+    try:
+        res = fit_ar(lat[:-1]).predict_next(num_std)
+    except Exception:
+        return FreshnessVerdict(UNKNOWN, error_code=ERR_FAILED_TO_FIT)
+    grace = event_grace_seconds(lat[:-1])
+    upper = max(res.upper, res.forecast + grace)
+    ok = actual_latency_seconds <= upper
+    return FreshnessVerdict(
+        HEALTHY if ok else UNHEALTHY,
+        predicted_upper_bound_ts=upper,
+        staleness_age_seconds=max(actual_latency_seconds - upper, 0.0),
+        debug={"rule": "event_ar_forecast",
+               "predicted_latency_seconds": str(int(res.forecast)),
+               "grace_seconds": str(int(grace))},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Completeness (daily row volumes) — F13/F14
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompletenessVerdict:
+    status: str
+    actual_volume: Optional[int] = None
+    predicted_lower_bound: Optional[int] = None
+    error_code: Optional[str] = None
+    debug: dict = field(default_factory=dict)
+
+
+def check_completeness(
+    daily_volumes: np.ndarray,
+    *,
+    num_commits: int | None = None,
+    constant_threshold: Optional[float] = None,
+    num_std: float = NUM_STD_FOR_RESIDUALS,
+) -> CompletenessVerdict:
+    """Completeness rule (reference F13/F14, completeness_utils.py:81-237):
+
+    - override: Healthy iff last volume ≥ constant threshold;
+    - guards: <2 commits → NOT_ENOUGH_UPDATE_OPERATIONS; ≤7 daily buckets
+      → NOT_ENOUGH_TABLE_HISTORY;
+    - model: train on volumes[:-1], lower = max(int(lower CI), 0),
+      Unhealthy iff volumes[-1] < lower.
+    """
+    vols = np.asarray(daily_volumes, dtype=np.float64)
+    if vols.size == 0:
+        return CompletenessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_HISTORY)
+    actual = int(vols[-1])
+
+    if constant_threshold is not None:
+        ok = actual >= constant_threshold
+        return CompletenessVerdict(
+            HEALTHY if ok else UNHEALTHY, actual, int(constant_threshold),
+            debug={"rule": "constant_threshold"},
+        )
+    if num_commits is not None and num_commits < MIN_COMMITS_FOR_COMPLETENESS:
+        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
+    if vols.size <= MIN_DAILY_BUCKETS:
+        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_HISTORY)
+    try:
+        res = fit_ar(vols[:-1]).predict_next(num_std)
+    except Exception:
+        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_FAILED_TO_FIT)
+    lower = max(int(res.lower), 0)
+    ok = actual >= lower
+    return CompletenessVerdict(
+        HEALTHY if ok else UNHEALTHY, actual, lower,
+        debug={"rule": "ar_forecast",
+               "forecast": str(int(res.forecast)),
+               "residual_std": str(round(res.residual_std, 3))},
+    )

@@ -1,0 +1,377 @@
+"""Mergeable, serializable sketches — pure numpy.
+
+These are the per-batch partial states the engine computes inside
+``map_batches`` and merges in a small ``groupby`` stage (the
+partial-then-final shape of the reference's bucket-sum-then-finalize,
+completeness_utils.py:69-78, generalized).  All sketches are:
+
+- **mergeable**: ``a.merge(b)`` is associative and commutative, so block
+  order / partitioning (N vs 4N cluster layouts) cannot change results;
+- **deterministic**: hashing via functions/hashing.py (fixed keys, no
+  process-salted ``hash()``);
+- **serializable**: ``to_bytes()`` / ``from_bytes()`` round-trip for
+  checkpoints and shuffle transport.
+
+Algorithms are from the published literature: HyperLogLog (Flajolet et al.
+2007), t-digest (Dunning & Ertl 2019), Bloom filters (Bloom 1970),
+MinHash (Broder 1997), SimHash (Charikar 2002).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterable
+
+import numpy as np
+
+from anomaly_detection_ray.functions.hashing import hash64, k_hashes
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class Sketch:
+    """Base: dict-state serialization shared by all sketches."""
+
+    def _state(self) -> dict[str, Any]:
+        return self.__dict__
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((type(self).__name__, self._state()), protocol=5)
+
+    @staticmethod
+    def from_bytes(raw: bytes) -> "Sketch":
+        name, state = pickle.loads(raw)
+        cls = _REGISTRY[name]
+        obj = cls.__new__(cls)
+        obj.__dict__.update(state)
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (6-step binary search)."""
+    v = v.astype(np.uint64, copy=True)
+    n = np.full(v.shape, 64, dtype=np.int64)
+    shift = 32
+    acc = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = x >> np.uint64(shift)
+        has_hi = hi != 0
+        acc = np.where(has_hi, acc, acc + shift)
+        x = np.where(has_hi, hi, x)
+    return np.where(v == 0, n, acc)
+
+
+class HyperLogLog(Sketch):
+    """Dense HLL with p index bits (default 14 → 16 KiB, ~0.8% error)."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_many(self, values) -> "HyperLogLog":
+        h = hash64(values)
+        if h.size == 0:
+            return self
+        p = np.uint64(self.p)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        tail = (h << p) & _MASK64
+        rank = (_clz64(tail) + 1).clip(max=64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if m >= 128:
+            alpha = 0.7213 / (1 + 1.079 / m)
+        elif m == 64:
+            alpha = 0.709
+        elif m == 32:
+            alpha = 0.697
+        else:
+            alpha = 0.673
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros > 0:
+            return m * np.log(m / zeros)
+        return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging variant, vectorized compression)
+# ---------------------------------------------------------------------------
+
+
+class TDigest(Sketch):
+    """Merging t-digest with the k1 scale function (Dunning & Ertl 2019).
+
+    Compression is fully vectorized: sort, map cumulative quantile through
+    k1(q) = δ/(2π)·asin(2q−1), floor to integer cells, merge cells with
+    ``np.add.reduceat``.  Accuracy concentrates at the tails, which is what
+    the KS drift statistic needs.
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.min = np.inf
+        self.max = -np.inf
+        self._buffer_limit = 8 * delta
+
+    # -- building -----------------------------------------------------------
+
+    def add_many(self, values) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, np.ones(v.size)])
+        if self.means.size > self._buffer_limit:
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m = self.means[order]
+        w = self.weights[order]
+        total = w.sum()
+        # q at the midpoint of each centroid's mass
+        cum = np.cumsum(w)
+        qmid = (cum - 0.5 * w) / total
+        qmid = np.clip(qmid, 1e-12, 1 - 1e-12)
+        k = self.delta / (2 * np.pi) * np.arcsin(2 * qmid - 1)
+        cell = np.floor(k).astype(np.int64)
+        # boundaries where the cell id changes
+        starts = np.flatnonzero(np.diff(cell, prepend=cell[0] - 1))
+        wsum = np.add.reduceat(w, starts)
+        msum = np.add.reduceat(w * m, starts)
+        self.means = msum / wsum
+        self.weights = wsum
+
+    # -- queries ------------------------------------------------------------
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def cdf(self, xs) -> np.ndarray:
+        """P(X ≤ x) for each x (linear interpolation between centroids)."""
+        self._compress()
+        xs = np.asarray(xs, dtype=np.float64)
+        if self.means.size == 0:
+            return np.full(xs.shape, np.nan)
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - 0.5 * self.weights
+        # anchor with min/max for the extremes
+        grid = np.concatenate([[self.min], self.means, [self.max]])
+        cdfv = np.concatenate([[0.0], cum / total, [1.0]])
+        # grid must be increasing; collapse ties
+        grid, idx = np.unique(grid, return_index=True)
+        cdfv = cdfv[idx]
+        return np.interp(xs, grid, cdfv, left=0.0, right=1.0)
+
+    def quantile(self, qs) -> np.ndarray:
+        self._compress()
+        qs = np.asarray(qs, dtype=np.float64)
+        if self.means.size == 0:
+            return np.full(qs.shape, np.nan)
+        total = self.weights.sum()
+        cum = (np.cumsum(self.weights) - 0.5 * self.weights) / total
+        grid = np.concatenate([[0.0], cum, [1.0]])
+        vals = np.concatenate([[self.min], self.means, [self.max]])
+        return np.interp(qs, grid, vals)
+
+
+def ks_statistic(a: TDigest, b: TDigest) -> float:
+    """Two-sample KS statistic sup|F_a − F_b| evaluated on the union of
+    centroid supports (the drift check's distance, SURVEY.md §7 step 7)."""
+    if a.total_weight == 0 or b.total_weight == 0:
+        return float("nan")
+    support = np.unique(np.concatenate([a.means, b.means, [a.min, a.max, b.min, b.max]]))
+    return float(np.max(np.abs(a.cdf(support) - b.cdf(support))))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter(Sketch):
+    """Standard Bloom filter sized for (capacity, fpp); k derived hashes."""
+
+    def __init__(self, capacity: int, fpp: float = 0.01):
+        capacity = max(capacity, 1)
+        m = int(np.ceil(-capacity * np.log(fpp) / (np.log(2) ** 2)))
+        m = max(64, (m + 7) // 8 * 8)
+        self.num_bits = m
+        self.k = max(1, int(round(m / capacity * np.log(2))))
+        self.bits = np.zeros(m // 8, dtype=np.uint8)
+
+    def add_many(self, values) -> "BloomFilter":
+        hs = k_hashes(values, self.k) % np.uint64(self.num_bits)
+        flat = hs.ravel().astype(np.int64)
+        np.bitwise_or.at(self.bits, flat >> 3, np.uint8(1) << (flat & 7).astype(np.uint8))
+        return self
+
+    def contains_many(self, values) -> np.ndarray:
+        hs = k_hashes(values, self.k) % np.uint64(self.num_bits)
+        flat = hs.astype(np.int64)
+        bitset = (self.bits[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+        return bitset.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketch (exact up to a cap, then overflow bucket)
+# ---------------------------------------------------------------------------
+
+
+class FreqSketch(Sketch):
+    """Category-count map for low-cardinality columns (codec, sr_hz, lang).
+
+    Exact while distinct ≤ cap; beyond that new categories fall into an
+    ``__other__`` overflow so merges stay bounded.  Chi-square drift
+    (reference analogue: the frequency comparison our north rule adds) is
+    computed from two merged sketches.
+    """
+
+    OTHER = "__other__"
+
+    def __init__(self, cap: int = 10_000):
+        self.cap = cap
+        self.counts: dict[str, int] = {}
+        self.total = 0
+
+    def add_many(self, values: Iterable) -> "FreqSketch":
+        import pandas as pd
+
+        s = pd.Series(list(values) if not hasattr(values, "__array__") else values)
+        vc = s.value_counts(dropna=False)
+        for k, c in vc.items():
+            key = "__null__" if (k is None or (isinstance(k, float) and np.isnan(k))) else str(k)
+            self._bump(key, int(c))
+        self.total += int(vc.sum())
+        return self
+
+    def _bump(self, key: str, c: int) -> None:
+        if key in self.counts or len(self.counts) < self.cap:
+            self.counts[key] = self.counts.get(key, 0) + c
+        else:
+            self.counts[self.OTHER] = self.counts.get(self.OTHER, 0) + c
+
+    def merge(self, other: "FreqSketch") -> "FreqSketch":
+        for k, c in other.counts.items():
+            self._bump(k, c)
+        self.total += other.total
+        return self
+
+
+def chi_square(observed: FreqSketch, expected: FreqSketch) -> tuple[float, int]:
+    """Pearson chi-square of *observed* vs *expected* proportions.
+
+    Returns (statistic, dof). Categories absent from one side get a small
+    floor. p-value is computed by the caller via the Wilson–Hilferty
+    approximation (functions/forecast.py:chi2_sf) — no scipy available.
+    """
+    keys = sorted(set(observed.counts) | set(expected.counts))
+    if not keys or observed.total == 0 or expected.total == 0:
+        return float("nan"), 0
+    obs = np.array([observed.counts.get(k, 0) for k in keys], dtype=np.float64)
+    exp_p = np.array([expected.counts.get(k, 0) for k in keys], dtype=np.float64)
+    exp_p = np.maximum(exp_p, 0.5) / np.maximum(exp_p, 0.5).sum()
+    exp = exp_p * obs.sum()
+    stat = float(((obs - exp) ** 2 / exp).sum())
+    return stat, len(keys) - 1
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Stateless vectorized minhash signatures over shingle hash sets.
+
+    k permutations via the affine construction sig_i = min((a_i·h + b_i)
+    mod 2^64) over the document's shingle hashes. Not a mergeable Sketch —
+    a per-document signature generator used by the LSH dedup stage.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature of one document's shingle hashes."""
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, _MASK64, dtype=np.uint64)
+        h = shingle_hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) & _MASK64
+        return vals.min(axis=0)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash of one document's token hashes (Charikar 2002)."""
+    if token_hashes.size == 0:
+        return np.uint64(0)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float64
+    )
+    w = np.ones(token_hashes.size) if weights is None else np.asarray(weights, dtype=np.float64)
+    votes = (bits * 2 - 1).T @ w
+    out = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 array and one value."""
+    x = np.bitwise_xor(a.astype(np.uint64), b)
+    # popcount via bit tricks
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+_REGISTRY = {
+    "HyperLogLog": HyperLogLog,
+    "TDigest": TDigest,
+    "BloomFilter": BloomFilter,
+    "FreqSketch": FreqSketch,
+}

@@ -1,0 +1,57 @@
+"""Table readers/writers — Lance-first design, Parquet in this sandbox.
+
+The north rule targets Lance tables; this environment has no ``pylance``
+(SURVEY.md §7.0), so ``read_table`` prefers ``ray.data.read_lance`` when
+the dependency exists and the path looks like a Lance dataset, and falls
+back to ``read_parquet`` otherwise.  All tests/benchmarks run on Parquet;
+the Lance path is one-line switchable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import ray.data
+
+
+def _is_lance(path: str) -> bool:
+    return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
+
+
+def read_table(
+    path: str,
+    *,
+    columns: Optional[Sequence[str]] = None,
+    filter=None,
+    override_num_blocks: Optional[int] = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Read a table as a Dataset, pruning columns/rows at the read
+    (a read that loads all columns for a 2-column transform is wrong at
+    100 TB — push ``columns`` and ``filter`` down to the scan)."""
+    if _is_lance(path):
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(path, columns=list(columns) if columns else None, **kwargs)
+        except ImportError:
+            pass
+    return ray.data.read_parquet(
+        path,
+        columns=list(columns) if columns else None,
+        filter=filter,
+        override_num_blocks=override_num_blocks,
+        **kwargs,
+    )
+
+
+def sf_table(sf_dir: str, name: str, **kwargs) -> ray.data.Dataset:
+    """Read one of the driver-provided testdata tables."""
+    return read_table(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
+
+
+def write_partitioned(ds: ray.data.Dataset, out_dir: str, **kwargs) -> None:
+    """Partitioned-Parquet sink: a directory of part files (never one giant
+    file) so a failed run can resume by skipping finished partitions."""
+    ds.write_parquet(out_dir, **kwargs)

@@ -1,0 +1,242 @@
+"""Deterministic synthetic clips / transcripts / ingest-history tables.
+
+``BASELINE.json.input_hint`` defines the clips shape; FIXTURES.md F1-F4
+define the planted violations.  The reference vendors no test corpus
+(SURVEY.md §5), so correctness is established against these seeded tables
+plus golden outputs.  Generation is chunked and writes partitioned Parquet
+so the same generator scales from the 1k-row smoke table to the bench
+table without driver-side memory growth.
+
+Everything is a pure function of (seed, n, chunk index) — regenerating any
+chunk independently yields identical rows, which is also how a 100 TB
+synthetic load would be produced across a cluster (one Ray task per chunk).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from anomaly_detection_ray.functions.audio import encode_wav
+from anomaly_detection_ray.schema import CLIPS_SCHEMA, INGEST_HISTORY_SCHEMA, TRANSCRIPTS_SCHEMA
+
+#: skewed codec mix (FIXTURES.md F1: ~80% pcm16 to exercise salted shuffles)
+_CODECS = np.array(["pcm16", "pcm8", "f32", "ulaw"])
+_CODEC_P = np.array([0.80, 0.08, 0.07, 0.05])
+_SR = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
+_SR_P = np.array([0.10, 0.70, 0.10, 0.10])
+
+_VOCAB = np.array(
+    "the a and of to in is it that was hello world audio clip speech test "
+    "sound noise voice signal data quality check table row batch".split()
+)
+
+#: planted violation rates (FIXTURES.md F1/F2)
+DUP_RATE = 0.001
+CORRUPT_RATE = 0.001
+DUR_MISMATCH_RATE = 0.001
+NULL_TRANSCRIPT_RATE = 0.002
+ORPHAN_RATE = 0.001
+
+
+def _transcripts(rng: np.random.Generator, n: int) -> np.ndarray:
+    lens = rng.integers(3, 12, size=n)
+    words = rng.choice(_VOCAB, size=int(lens.sum()))
+    out = np.empty(n, dtype=object)
+    pos = 0
+    for i, L in enumerate(lens):
+        out[i] = " ".join(words[pos : pos + L])
+        pos += L
+    return out
+
+
+def make_clips_chunk(seed: int, chunk: int, n: int, drift: bool = False) -> pa.Table:
+    """One deterministic chunk of the clips table with planted violations.
+
+    ``drift=True`` produces the F3 ``clips_drifted`` distributions: dur_ms
+    mean +30%, codec mix rotated, sr histogram changed.
+    """
+    rng = np.random.default_rng((seed, chunk, 1 if drift else 0))
+    start = chunk * n
+    ids = np.array([f"clip-{start + i:012d}" for i in range(n)], dtype=object)
+    # planted duplicate ids: overwrite ~DUP_RATE ids with a neighbour's id
+    dup_mask = rng.random(n) < DUP_RATE
+    dup_idx = np.flatnonzero(dup_mask)
+    ids[dup_idx[dup_idx > 0]] = ids[dup_idx[dup_idx > 0] - 1]
+
+    codec_p = np.roll(_CODEC_P, 1) if drift else _CODEC_P
+    sr_p = np.array([0.05, 0.35, 0.40, 0.20]) if drift else _SR_P
+    codec = rng.choice(_CODECS, size=n, p=codec_p)
+    sr = rng.choice(_SR, size=n, p=sr_p)
+    dur_mean = 650.0 * (1.3 if drift else 1.0)
+    dur = np.clip(rng.normal(dur_mean, 220.0, size=n), 8, 2000).astype(np.int32)
+
+    transcripts = _transcripts(rng, n)
+    null_mask = rng.random(n) < NULL_TRANSCRIPT_RATE
+    transcripts[null_mask] = None
+
+    corrupt_mask = rng.random(n) < CORRUPT_RATE
+    mismatch_mask = rng.random(n) < DUR_MISMATCH_RATE
+
+    payloads = np.empty(n, dtype=object)
+    freqs = rng.uniform(100, 2000, size=n)
+    amps = rng.uniform(0.2, 0.8, size=n)
+    for i in range(n):
+        ns = max(int(sr[i] * dur[i] / 1000), 1)
+        t = np.arange(ns) / sr[i]
+        sig = amps[i] * np.sin(2 * np.pi * freqs[i] * t)
+        raw = encode_wav(sig, int(sr[i]), str(codec[i]))
+        if corrupt_mask[i]:
+            raw = raw[: max(len(raw) // 2, 10)]  # truncate → decode error
+        payloads[i] = raw
+        if mismatch_mask[i]:
+            dur[i] = dur[i] + 50  # column lies about the payload length
+
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads.tolist(), pa.binary()),
+            "sr_hz": pa.array(sr, pa.int32()),
+            "dur_ms": pa.array(dur, pa.int32()),
+            "codec": pa.array(codec, pa.string()),
+            "transcript": pa.array(transcripts, pa.string()),
+        },
+        schema=CLIPS_SCHEMA,
+    )
+
+
+def make_transcripts_chunk(seed: int, chunk: int, n: int) -> pa.Table:
+    """Side table: same ids/transcripts as the clips chunk, with ~ORPHAN_RATE
+    rows dropped (clips without transcript) and ~ORPHAN_RATE fabricated
+    orphan ids appended (transcripts without clip)."""
+    clips = make_clips_chunk(seed, chunk, n)
+    rng = np.random.default_rng((seed, chunk, 99))
+    ids = np.asarray(clips["clip_id"].to_pylist(), dtype=object)
+    texts = np.asarray(clips["transcript"].to_pylist(), dtype=object)
+    keep = rng.random(n) >= ORPHAN_RATE
+    ids, texts = ids[keep], texts[keep]
+    n_orphan = max(int(n * ORPHAN_RATE), 1)
+    orphan_ids = np.array([f"orphan-{seed}-{chunk}-{i:06d}" for i in range(n_orphan)], dtype=object)
+    orphan_txt = _transcripts(rng, n_orphan)
+    return pa.table(
+        {
+            "clip_id": pa.array(np.concatenate([ids, orphan_ids]), pa.string()),
+            "transcript": pa.array(np.concatenate([texts, orphan_txt]), pa.string()),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def make_ingest_history(seed: int, num_partitions: int, eval_ts: float) -> pa.Table:
+    """Per-partition commit history (FIXTURES.md F4): seeded cadences —
+    hourly, daily, weekly-seasonal, static (>30d old), one late-gap series
+    (stale verdict) — with non-update ops and empty writes that must be
+    filtered (reference: table_history_utils.py:17-28, 121-131)."""
+    rng = np.random.default_rng((seed, 4))
+    rows: list[dict] = []
+    cadences = ["hourly", "daily", "weekly", "static", "late"]
+    for p in range(num_partitions):
+        kind = cadences[p % len(cadences)]
+        pid = f"part-{p:04d}"
+        if kind == "hourly":
+            gaps = rng.normal(3600, 120, 400)
+        elif kind == "daily":
+            gaps = rng.normal(86400, 1800, 60)
+        elif kind == "weekly":
+            base = np.tile([3600, 3600, 3600, 3600, 3600, 43200, 43200], 40)
+            gaps = base + rng.normal(0, 60, base.size)
+        elif kind == "static":
+            gaps = rng.normal(86400, 900, 20)
+        else:  # late: hourly series that stopped 8h ago
+            gaps = rng.normal(3600, 60, 300)
+        ts_end = eval_ts - {"hourly": 600, "daily": 3600, "weekly": 600,
+                            "static": 45 * 86400, "late": 8 * 3600}[kind]
+        # increasing timestamps ending at ts_end
+        ts = ts_end - (np.cumsum(gaps)[-1] - np.cumsum(gaps))
+        for i, t in enumerate(ts):
+            op = "WRITE" if rng.random() > 0.1 else ("OPTIMIZE" if rng.random() < 0.5 else "VACUUM END")
+            nrows = int(max(rng.normal(1000, 100), 0))
+            empty = rng.random() < 0.03
+            metrics = {
+                "numOutputRows": "0" if empty else str(nrows),
+                "numFiles": "0" if empty else str(max(nrows // 500, 1)),
+                "numOutputBytes": "0" if empty else str(nrows * 120),
+                "numDeletedRows": str(int(rng.random() < 0.05) * 10),
+            }
+            rows.append(
+                {"partition_id": pid, "timestamp": float(t), "operation": op,
+                 "operationMetrics": list(metrics.items())}
+            )
+    tbl = pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.string()),
+            "timestamp": pa.array(
+                (np.array([r["timestamp"] for r in rows]) * 1e6).astype("int64"),
+                pa.timestamp("us"),
+            ),
+            "operation": pa.array([r["operation"] for r in rows], pa.string()),
+            "operationMetrics": pa.array(
+                [r["operationMetrics"] for r in rows], pa.map_(pa.string(), pa.string())
+            ),
+        },
+        schema=INGEST_HISTORY_SCHEMA,
+    )
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# Materialized dataset cache (one dir per (kind, seed, rows))
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = os.environ.get("ADR_SYNTH_CACHE", "/tmp/adr_synth")
+CHUNK_ROWS = 2000
+
+
+def clips_path(n_rows: int, seed: int = 42, drift: bool = False) -> str:
+    """Materialize (once) and return a partitioned-Parquet clips dataset."""
+    tag = f"clips{'_drift' if drift else ''}-s{seed}-n{n_rows}"
+    out = os.path.join(_CACHE_ROOT, tag)
+    return _materialize(out, n_rows, lambda c, m: make_clips_chunk(seed, c, m, drift=drift))
+
+
+def transcripts_path(n_rows: int, seed: int = 42) -> str:
+    out = os.path.join(_CACHE_ROOT, f"transcripts-s{seed}-n{n_rows}")
+    return _materialize(out, n_rows, lambda c, m: make_transcripts_chunk(seed, c, m))
+
+
+def _materialize(out: str, n_rows: int, make_chunk) -> str:
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n_chunks = max((n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS, 1)
+    for c in range(n_chunks):
+        m = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
+        if m <= 0:
+            break
+        pq.write_table(make_chunk(c, m), os.path.join(tmp, f"chunk-{c:05d}.parquet"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def history_path(num_partitions: int = 20, seed: int = 42, eval_ts: float = 1_754_000_000.0) -> str:
+    out = os.path.join(_CACHE_ROOT, f"history-s{seed}-p{num_partitions}")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(make_ingest_history(seed, num_partitions, eval_ts), os.path.join(out, "history.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out

@@ -1,0 +1,226 @@
+"""Per-column statistics as mergeable per-batch partials.
+
+The engine's central pattern (reference analogue: the partial-then-final
+bucket-sum shape of completeness_utils.py:69-78, generalized per SURVEY.md
+§2.6 A7): ``map_batches`` computes one small **partial row per
+(partition_key, column) per block** — count / nulls / min / max / sum /
+sumsq plus serialized HLL, t-digest and frequency sketches — and a tiny
+``groupby`` merges partials.  The raw data is never shuffled; the shuffle
+volume is O(blocks × columns), independent of row count, which is what
+makes the same plan hold at 10^12 rows on a 256-node cluster.
+
+Skew note: partial aggregation bounds any key's shuffle fan-in by the
+number of blocks, so a 80%-mass ``codec`` key costs the same as a uniform
+one.  ``salted_groupby`` below is the explicit salting helper for the
+cases that *do* need a row-level grouped shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from anomaly_detection_ray.functions.hashing import bucket_of
+from anomaly_detection_ray.state.sketches import FreqSketch, HyperLogLog, Sketch, TDigest
+
+GLOBAL_KEY = "__all__"
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+def _partial_for_column(col: pa.ChunkedArray, name: str, with_sketches: bool) -> dict:
+    n = len(col)
+    nulls = col.null_count
+    row = {
+        "column": name,
+        "count": n,
+        "nulls": nulls,
+        "min": None,
+        "max": None,
+        "sum": None,
+        "sumsq": None,
+        "hll": None,
+        "tdigest": None,
+        "freq": None,
+    }
+    valid = col.drop_null() if nulls else col
+    if _is_numeric(col.type) and len(valid):
+        v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+        row["min"] = float(v.min())
+        row["max"] = float(v.max())
+        row["sum"] = float(v.sum())
+        row["sumsq"] = float((v * v).sum())
+        if with_sketches:
+            row["tdigest"] = TDigest().add_many(v).to_bytes()
+    if with_sketches and len(valid):
+        vals = valid.to_pandas().to_numpy()
+        row["hll"] = HyperLogLog().add_many(vals).to_bytes()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_integer(col.type):
+            row["freq"] = FreqSketch().add_many(vals).to_bytes()
+    return row
+
+
+class PartialStats:
+    """map_batches fn: pyarrow batch in → partial-stat rows out.
+
+    One row per (partition value, column).  With ``partition_col=None``
+    everything lands under the GLOBAL_KEY partition.
+    """
+
+    def __init__(self, columns: Sequence[str], partition_col: Optional[str] = None,
+                 with_sketches: bool = True):
+        self.columns = list(columns)
+        self.partition_col = partition_col
+        self.with_sketches = with_sketches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        groups: Iterable[tuple[str, pa.Table]]
+        if self.partition_col is None:
+            groups = [(GLOBAL_KEY, batch)]
+        else:
+            keys = batch[self.partition_col]
+            uniq = pc.unique(keys)
+            groups = [
+                (str(k), batch.filter(pc.equal(keys, k)))
+                for k in uniq.to_pylist()
+            ]
+        rows = []
+        for part, sub in groups:
+            for name in self.columns:
+                r = _partial_for_column(sub[name], name, self.with_sketches)
+                r["partition_id"] = part
+                rows.append(r)
+        return _partial_rows_table(rows)
+
+
+def _partial_rows_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.string()),
+            "column": pa.array([r["column"] for r in rows], pa.string()),
+            "count": pa.array([r["count"] for r in rows], pa.int64()),
+            "nulls": pa.array([r["nulls"] for r in rows], pa.int64()),
+            "min": pa.array([r["min"] for r in rows], pa.float64()),
+            "max": pa.array([r["max"] for r in rows], pa.float64()),
+            "sum": pa.array([r["sum"] for r in rows], pa.float64()),
+            "sumsq": pa.array([r["sumsq"] for r in rows], pa.float64()),
+            "hll": pa.array([r["hll"] for r in rows], pa.binary()),
+            "tdigest": pa.array([r["tdigest"] for r in rows], pa.binary()),
+            "freq": pa.array([r["freq"] for r in rows], pa.binary()),
+        }
+    )
+
+
+def _merge_sketch_column(blobs: pd.Series):
+    acc = None
+    for b in blobs:
+        if b is None:
+            continue
+        s = Sketch.from_bytes(b)
+        acc = s if acc is None else acc.merge(s)
+    return acc
+
+
+def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn: merge all partial rows of one (partition, column)."""
+    count = int(g["count"].sum())
+    nulls = int(g["nulls"].sum())
+    valid = count - nulls
+    s = g["sum"].sum(skipna=True) if g["sum"].notna().any() else None
+    ssq = g["sumsq"].sum(skipna=True) if g["sumsq"].notna().any() else None
+    mean = s / valid if (s is not None and valid) else None
+    if ssq is not None and valid and valid > 1:
+        var = max((ssq - valid * mean * mean) / (valid - 1), 0.0)
+        stddev = float(np.sqrt(var))
+    else:
+        stddev = None
+    hll = _merge_sketch_column(g["hll"])
+    td = _merge_sketch_column(g["tdigest"])
+    fr = _merge_sketch_column(g["freq"])
+    return pd.DataFrame(
+        [
+            {
+                "partition_id": g["partition_id"].iloc[0],
+                "column": g["column"].iloc[0],
+                "count": count,
+                "nulls": nulls,
+                "null_rate": nulls / count if count else 0.0,
+                "min": g["min"].min(skipna=True) if g["min"].notna().any() else None,
+                "max": g["max"].max(skipna=True) if g["max"].notna().any() else None,
+                "mean": mean,
+                "stddev": stddev,
+                "distinct_est": hll.estimate() if hll is not None else None,
+                "hll": hll.to_bytes() if hll is not None else None,
+                "tdigest": td.to_bytes() if td is not None else None,
+                "freq": fr.to_bytes() if fr is not None else None,
+            }
+        ]
+    )
+
+
+def column_stats(
+    ds: ray.data.Dataset,
+    columns: Sequence[str],
+    *,
+    partition_col: Optional[str] = None,
+    with_sketches: bool = True,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Dataset of final per-(partition, column) stats rows.
+
+    Read → per-block partials (map_batches, zero-copy Arrow) → tiny
+    groupby-merge.  ``ds`` itself is never shuffled.
+    """
+    partials = ds.map_batches(
+        PartialStats(columns, partition_col, with_sketches),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby(["partition_id", "column"]).map_groups(
+        merge_partials_group, batch_format="pandas"
+    )
+
+
+def stats_to_pandas(stats_ds: ray.data.Dataset, drop_sketches: bool = True) -> pd.DataFrame:
+    df = stats_ds.to_pandas()
+    if drop_sketches:
+        df = df.drop(columns=[c for c in ("hll", "tdigest", "freq") if c in df])
+    return df.sort_values(["partition_id", "column"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Explicit skew-salted grouped aggregation
+# ---------------------------------------------------------------------------
+
+
+def salted_groupby_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    value_cols: Sequence[str],
+    *,
+    salt: int = 8,
+    id_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Grouped sums over a skewed key: first aggregate by
+    ``(key, salt = hash(id) % S)`` so a hot key's rows split across S
+    reducers, then a second tiny groupby over the salts (SURVEY.md §7.5;
+    FP-Hadoop-style two-phase aggregation)."""
+    from ray.data.aggregate import Sum
+
+    id_col = id_col or key
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        return b.append_column("__salt__", pa.array(bucket_of(b[id_col], salt)))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    first = salted.groupby([key, "__salt__"]).aggregate(
+        *[Sum(c, alias_name=c) for c in value_cols]
+    )
+    return first.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in value_cols])

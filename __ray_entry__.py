@@ -1,44 +1,259 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship clips validation suite; ``queries()`` maps
+every implemented operator/pipeline (SURVEY.md §2 + the training-data ops)
+to a callable over ``sf_dir``; ``oracle_sql()`` gives the DuckDB twin for
+each SQL-expressible query (column names and rounding match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
 
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def _clips_rows(sf_dir: str) -> int:
+    return max(int(600_000 * _sf_of(sf_dir)), 500)
+
+
+def _run_suite(sf_dir: str):
+    from anomaly_detection_ray.config import SuiteConfig
+    from anomaly_detection_ray.pipelines.validate import validate_clips
+    from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+    from anomaly_detection_ray.stages.drift import build_baseline_snapshot
+    from anomaly_detection_ray.sources.readers import read_table
+    from anomaly_detection_ray.pipelines.validate import add_partition_id, PARTITION_COL
+    from anomaly_detection_ray.stages.decode import decode_stage
+
+    n = _clips_rows(sf_dir)
+    cfg = SuiteConfig(num_partitions=8)
+    cp, tp = clips_path(n), transcripts_path(n)
+    base_ds = decode_stage(
+        read_table(clips_path(max(n // 2, 500), drift=False))
+        .map_batches(add_partition_id(cfg.num_partitions), batch_format="pyarrow"),
+        batch_size=cfg.decode_batch_size, concurrency=cfg.decode_concurrency,
+    )
+    baseline = build_baseline_snapshot(
+        base_ds,
+        ["sr_hz", "dur_ms", "decoded_ms", "rms", "peak", "clip_ratio", "codec",
+         "transcript", "clip_id"],
+        partition_col=PARTITION_COL,
+    )
+    return validate_clips(cp, tp, config=cfg, baseline_stats=baseline)
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint-validation suite on the sf0.001-scale
+    synthetic clips table (schema, null-rate, column stats + sketches,
+    uniqueness, referential integrity, audio decode, drift)."""
+    return _run_suite("/root/testdata/sf0.001").verdicts
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anomaly_detection_ray.pipelines import history, relational, textops, vectors
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # relational operator coverage (SQL-oracled)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "daily_volume": relational.daily_volume,
+        "latest_event_per_user": relational.latest_event_per_user,
+        "status_count_domain": relational.status_count_domain,
+        "multi_key_sort": relational.multi_key_sort,
+        "null_rate_documents": relational.null_rate_documents,
+        "column_stats_lineitem": relational.column_stats_lineitem,
+        "distinct_counts": relational.distinct_counts,
+        "customers_without_orders": relational.customers_without_orders,
+        "top_customers": relational.top_customers,
+        "revenue_by_orderstatus": relational.revenue_by_orderstatus,
+        "duplicate_user_event_pairs": relational.duplicate_user_event_pairs,
+        "hourly_window": relational.hourly_window,
+        "asof_latest_value": relational.asof_latest_value,
+        "props_k_by_type": relational.props_k_by_type,
+        "exact_dedup_docs": relational.exact_dedup_docs,
+        # text ops
+        "token_counts_by_lang": textops.token_counts_by_lang,
+        "doc_length_stats": textops.doc_length_stats,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "language_id": textops.language_id,
+        "quality_scores": textops.quality_scores,
+        "minhash_near_dups": textops.minhash_near_dups,
+        "simhash_near_dups": textops.simhash_near_dups,
+        # vectors
+        "embedding_topk": vectors.embedding_topk,
+        "knn_label_counts": vectors.knn_label_counts,
+        "embedding_near_dups": vectors.embedding_near_dups,
+        # sketches / detectors / drift
+        "hll_distinct_users": history.hll_distinct_users,
+        "value_quantiles": history.value_quantiles,
+        "events_drift_halves": history.events_drift_halves,
+        "spot_anomalies": history.spot_anomalies,
+        "huber_anomalies": history.huber_anomalies,
+        # freshness / completeness over synthetic ingest history
+        "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
+        "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),
+        "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
+        # flagship clips suite (rows-only; golden-tested)
+        "clips_verdicts": lambda sf_dir: _run_suite(sf_dir).verdicts.drop(
+            columns=["additional_debug_info", "downstream_impact"]),
+        "clips_violations": lambda sf_dir: _run_suite(sf_dir).violations,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                          AS sum_qty,
+                   round(sum(l_extendedprice), 2)                     AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4)               AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4)          AS avg_price,
+                   round(sum(l_discount) / count(*), 4)               AS avg_disc,
+                   count(*)                                           AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "daily_volume": """
+            SELECT date_trunc('day', ts) AS day,
+                   round(sum(value), 2)  AS sum_value,
+                   count(*)              AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_type, round(value, 6) AS value
+            FROM (SELECT user_id, ts, event_type, value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "status_count_domain": """
+            SELECT d.o_orderstatus, coalesce(c.cnt, 0) AS cnt
+            FROM (VALUES ('F'), ('O'), ('P'), ('X')) d(o_orderstatus)
+            LEFT JOIN (SELECT o_orderstatus, count(*) AS cnt
+                       FROM orders GROUP BY 1) c USING (o_orderstatus)
+            ORDER BY d.o_orderstatus
+        """,
+        "multi_key_sort": """
+            SELECT o_orderkey, o_orderpriority,
+                   CASE o_orderpriority
+                        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                        WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                        WHEN '5-LOW' THEN 5 ELSE 9 END AS priority_rank,
+                   round(orders.o_totalprice, 2) AS o_totalprice
+            FROM orders
+            ORDER BY priority_rank, orders.o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "null_rate_documents": """
+            SELECT col_name, null_count, row_count,
+                   round(null_count::DOUBLE / row_count, 6) AS null_rate
+            FROM (
+                SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS null_count,
+                       count(*) AS row_count FROM documents
+                UNION ALL SELECT 'lang', count(*) - count(lang), count(*) FROM documents
+                UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(*) FROM documents
+                UNION ALL SELECT 'source', count(*) - count(source), count(*) FROM documents
+                UNION ALL SELECT 'text', count(*) - count(text), count(*) FROM documents
+            ) t ORDER BY col_name
+        """,
+        "column_stats_lineitem": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   round(min(l_quantity), 2)    AS min_qty,
+                   round(max(l_quantity), 2)    AS max_qty,
+                   round(avg(l_quantity), 6)    AS mean_qty,
+                   round(stddev(l_quantity), 6) AS std_qty
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT l_partkey)  AS distinct_l_partkey,
+                   count(DISTINCT l_suppkey)  AS distinct_l_suppkey,
+                   count(DISTINCT l_orderkey) AS distinct_l_orderkey
+            FROM lineitem
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "revenue_by_orderstatus": """
+            SELECT o_orderstatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "duplicate_user_event_pairs": """
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY user_id, event_type
+        """,
+        "hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_latest_value": """
+            SELECT user_id, ts AS last_ts, round(value, 6) AS last_value
+            FROM (SELECT user_id, ts, value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+                  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "props_k_by_type": """
+            SELECT event_type,
+                   sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "token_counts_by_lang": """
+            SELECT lang,
+                   sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       END) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_length_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(length(text)) AS total_chars,
+                   round(sum(length(text))::DOUBLE / count(*), 4) AS mean_chars,
+                   sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS n_chars_mismatches
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, vec_id,
+                   round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 5) AS score
+            FROM q CROSS JOIN embeddings
+            QUALIFY row_number() OVER (
+                PARTITION BY qid
+                ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id
+            ) <= 5
+            ORDER BY query_id, score DESC, vec_id
+        """,
+    }

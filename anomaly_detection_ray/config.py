@@ -144,6 +144,11 @@ class SuiteConfig:
     uniqueness_key: str = "clip_id"
     drift_ks_threshold: float = 0.15
     drift_chi2_pvalue: float = 0.01
+    #: columns the drift check covers — numeric (KS) and low-cardinality
+    #: categorical (chi-square); high-cardinality ids/text are excluded
+    #: because frequency sketches of unique values carry no signal
+    drift_columns: tuple = ("sr_hz", "dur_ms", "decoded_ms", "rms", "peak",
+                            "clip_ratio", "codec")
     #: batch size for the binary-heavy decode stage (small on purpose)
     decode_batch_size: int = 256
     decode_concurrency: int = 4

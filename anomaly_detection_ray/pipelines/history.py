@@ -1,0 +1,246 @@
+"""Freshness / completeness verdict pipelines over ingest history, plus the
+streaming detectors and sketch-based estimates over the events stream.
+
+The M1→M5 preprocessing chain and the F6-F14 verdict rules run per
+partition inside ``groupby(partition_id).map_groups`` — one group = one
+table's history (small by construction: history is capped at 1000 commits,
+reference table_history_utils.py:60-92), so per-group pandas is the right
+altitude; the heavy data never exists here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from anomaly_detection_ray.config import (
+    DELETED_ROWS_METRIC,
+    MAX_HISTORY_COMMITS,
+    OPERATION_ROW_METRIC,
+    UPDATE_OPERATIONS,
+)
+from anomaly_detection_ray.functions.detectors import HuberDetector, SpotDetector
+from anomaly_detection_ray.functions.verdicts import (
+    check_commit_freshness,
+    check_completeness,
+    status_rank,
+)
+from anomaly_detection_ray.sources.readers import read_table, sf_table
+from anomaly_detection_ray.sources.synth import history_path
+
+_EVAL_TS = 1_754_000_000.0
+
+
+def filter_update_ops(batch: pa.Table) -> pa.Table:
+    """M1 + M2: keep whitelist operations, drop empty writes (reference:
+    table_history_utils.py:17-28, 121-131)."""
+    keep = pc.is_in(batch["operation"], value_set=pa.array(UPDATE_OPERATIONS))
+    batch = batch.filter(keep)
+    if batch.num_rows == 0:
+        return batch
+    metrics = batch["operationMetrics"].to_pylist()
+    mask = np.ones(batch.num_rows, dtype=bool)
+    for i, m in enumerate(metrics):
+        d = dict(m) if m is not None else {}
+        vals = [d.get(k) for k in ("numFiles", "numOutputRows", "numOutputBytes")]
+        # drop iff every metric present and all zero (empty write)
+        if all(v is not None for v in vals) and all(v == "0" for v in vals):
+            mask[i] = False
+    return batch.filter(pa.array(mask))
+
+
+def _row_volume(op: str, metrics: dict) -> int:
+    """M3: operation→metric lookup minus deletes (completeness_utils.py:48-67)."""
+    key = OPERATION_ROW_METRIC.get(op)
+    added = int(metrics.get(key, 0) or 0) if key else 0
+    deleted = int(metrics.get(DELETED_ROWS_METRIC, 0) or 0)
+    return added - deleted
+
+
+def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
+    """Per-partition freshness verdicts (F12 dispatcher) over the ingest
+    history table."""
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pid = g["partition_id"].iloc[0]
+        ts = (g["timestamp"].astype("int64").to_numpy() / 1e6)
+        ts = np.sort(ts)[-MAX_HISTORY_COMMITS:]
+        try:
+            v = check_commit_freshness(ts, eval_ts)
+            return pd.DataFrame([{
+                "partition_id": pid,
+                "status": v.status,
+                "is_static": v.is_static,
+                "staleness_age_seconds": round(v.staleness_age_seconds, 1),
+                "predicted_upper_bound_ts": (int(v.predicted_upper_bound_ts)
+                                             if v.predicted_upper_bound_ts else None),
+                "error_code": v.error_code,
+                "rule": v.debug.get("rule", ""),
+            }])
+        except Exception as e:  # error funnel → Unknown row, never a crash
+            return pd.DataFrame([{
+                "partition_id": pid, "status": "Unknown", "is_static": False,
+                "staleness_age_seconds": 0.0, "predicted_upper_bound_ts": None,
+                "error_code": "INTERNAL_ERROR", "rule": str(e)[:100],
+            }])
+
+    out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
+    out["__r__"] = [status_rank(s) for s in out["status"]]
+    out = (out.sort_values(["__r__", "is_static", "staleness_age_seconds", "partition_id"],
+                           ascending=[True, True, False, True])
+           .drop(columns="__r__").reset_index(drop=True))
+    return out
+
+
+def completeness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
+    """Per-partition completeness verdicts (F13) from day-bucketed volumes
+    (M3+M5: bucket = (eval−ts)//24h, dense 0-filled, ascending)."""
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pid = g["partition_id"].iloc[0]
+        ts = g["timestamp"].astype("int64").to_numpy() / 1e6
+        vols = np.array([_row_volume(op, dict(m)) for op, m in
+                         zip(g["operation"], g["operationMetrics"])])
+        bucket = ((eval_ts - ts) // 86400).astype(int)
+        valid = bucket >= 0
+        bucket, vols = bucket[valid], vols[valid]
+        if bucket.size == 0:
+            dense = np.zeros(0)
+        else:
+            dense = np.zeros(int(bucket.max()) + 1)
+            np.add.at(dense, bucket, vols)
+            dense = dense[::-1]  # ascending time order (oldest→latest day)
+        v = check_completeness(dense, num_commits=int(bucket.size))
+        return pd.DataFrame([{
+            "partition_id": pid,
+            "status": v.status,
+            "actual_volume": v.actual_volume,
+            "predicted_lower_bound": v.predicted_lower_bound,
+            "error_code": v.error_code,
+            "n_buckets": int(dense.size),
+        }])
+
+    out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
+    out["__r__"] = [status_rank(s) for s in out["status"]]
+    return (out.sort_values(["__r__", "partition_id"]).drop(columns="__r__")
+            .reset_index(drop=True))
+
+
+def daily_history_volumes(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
+    """The M1→M5 chain's intermediate output (per partition per day-bucket
+    summed row volume) — deterministic, test-pinned."""
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+
+    def vols(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["timestamp"].astype("int64").to_numpy() / 1e6
+        v = np.array([_row_volume(op, dict(m)) for op, m in
+                      zip(g["operation"], g["operationMetrics"])])
+        bucket = ((eval_ts - ts) // 86400).astype(int)
+        df = pd.DataFrame({"partition_id": g["partition_id"].iloc[0],
+                           "day_bucket": bucket, "volume": v})
+        return df.groupby(["partition_id", "day_bucket"], as_index=False)["volume"].sum()
+
+    out = ds.groupby("partition_id").map_groups(vols, batch_format="pandas").to_pandas()
+    return out.sort_values(["partition_id", "day_bucket"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming detectors over events (per-key actor-stage shape, F15-F17)
+# ---------------------------------------------------------------------------
+
+
+def spot_anomalies(sf_dir: str, calibration_frac: float = 0.5) -> pd.DataFrame:
+    """Per event_type SPOT anomalies over the value series in ts order
+    (reference F15/F17 per-entity pattern: one model per group, fit on the
+    head, streamed over the tail)."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vals = g["value"].to_numpy()
+        n0 = max(int(len(vals) * calibration_frac), 20)
+        if len(vals) <= n0:
+            return pd.DataFrame({"event_id": [], "event_type": [], "value": []})
+        det = SpotDetector(q=1e-3).fit(vals[:n0])
+        alarms = det.score_series(vals[n0:])
+        hit = g.iloc[n0:][alarms]
+        return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
+                             "event_type": hit["event_type"],
+                             "value": hit["value"].round(6)})
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def huber_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Per event_type Huber-deviation anomalies (reference F16: ±5·scale)."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        det = HuberDetector().fit(g["value"].to_numpy())
+        s = det.score(g["value"].to_numpy())
+        hit = g[s != 0]
+        return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
+                             "event_type": hit["event_type"],
+                             "value": hit["value"].round(6),
+                             "direction": s[s != 0].astype("int64")})
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def events_drift_halves(sf_dir: str) -> pd.DataFrame:
+    """Drift check demo: KS(value) + chi2(event_type) between the first and
+    second half of the events stream (split at the median ts)."""
+    from anomaly_detection_ray.stages.drift import drift_verdicts
+    from anomaly_detection_ray.stages.stats import column_stats
+
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    lo, hi = ds.min("ts"), ds.max("ts")
+    mid = lo + (hi - lo) / 2
+    mid_scalar = pa.scalar(mid, pa.timestamp("us"))
+
+    first = ds.map_batches(lambda t: t.filter(pc.less(t["ts"], mid_scalar)),
+                           batch_format="pyarrow")
+    second = ds.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], mid_scalar)),
+                            batch_format="pyarrow")
+    base = column_stats(first, ["value", "event_type"]).to_pandas()
+    target = column_stats(second, ["value", "event_type"]).to_pandas()
+    dv = drift_verdicts(target, base)
+    return dv[["column", "ks_stat", "chi2_pvalue", "status"]].sort_values(
+        "column").reset_index(drop=True)
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL distinct-count estimate of user_id (tests assert ≤2% error vs
+    exact; rows-only for the driver)."""
+    from anomaly_detection_ray.stages.stats import column_stats
+
+    stats = column_stats(sf_table(sf_dir, "events", columns=["user_id"]),
+                         ["user_id"]).to_pandas()
+    return pd.DataFrame({
+        "col_name": ["user_id"],
+        "distinct_est": [int(round(stats["distinct_est"].iloc[0]))],
+    })
+
+
+def value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantiles of events.value (tests assert tolerance vs exact)."""
+    from anomaly_detection_ray.stages.stats import column_stats
+    from anomaly_detection_ray.state.sketches import Sketch
+
+    stats = column_stats(sf_table(sf_dir, "events", columns=["value"]), ["value"],
+                         with_sketches=True)
+    df = stats.to_pandas()
+    td = Sketch.from_bytes(df["tdigest"].iloc[0])
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    vals = td.quantile(qs)
+    return pd.DataFrame({"q": qs, "value_quantile": np.round(vals, 4)})

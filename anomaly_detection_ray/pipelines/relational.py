@@ -1,0 +1,365 @@
+"""Relational operator pipelines over the driver-provided testdata tables.
+
+Each function takes ``sf_dir`` and returns a small result (pandas) whose
+column names match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql``
+exactly.  Floating aggregates are rounded identically on both sides so the
+driver's value-hash is robust to summation order.
+
+Patterns exercised (SURVEY.md §2 inventory):
+
+- pre-aggregated grouped sums (combine inside ``map_batches``, then a tiny
+  ``groupby`` over partials — A1/A7's partial-then-final shape);
+- vectorized filters/projections at the read (M1/M2);
+- latest-per-key dedup (A6), status-domain fill (J3), multi-key rank sort
+  (O1/O2), as-of lookup (S3);
+- broadcast joins (J1/J2), hash-partitioned large joins and anti-joins (J4);
+- exact distinct counts, uniqueness violations (§2.8).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from anomaly_detection_ray.sources.readers import sf_table
+from anomaly_detection_ray.stages.join import referential_orphans
+
+# ---------------------------------------------------------------------------
+# generic pre-aggregated grouped sums (the combiner pattern)
+# ---------------------------------------------------------------------------
+
+
+def grouped_sums(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str = "__cnt__",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Grouped sums + count with per-block partial aggregation: the shuffle
+    moves one row per (block, key), not one per input row."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False, observed=True)
+        out = g[sum_cols].sum() if sum_cols else pd.DataFrame(index=g.size().index)
+        out[count_alias] = g.size()
+        return out.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum(count_alias, alias_name=count_alias)]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def latest_per_key(
+    ds: ray.data.Dataset, key: str, ts_col: str, batch_size: int = 65536
+) -> ray.data.Dataset:
+    """Latest row per key (reference A6 ROW_NUMBER()...rn=1 dedup) with a
+    per-block pre-reduction: each block keeps only its own per-key latest
+    row before the shuffle."""
+
+    def block_latest(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.groupby(key, observed=True)[ts_col].idxmax()
+        return df.loc[idx]
+
+    pre = ds.map_batches(block_latest, batch_format="pandas", batch_size=batch_size)
+    return pre.groupby(key).map_groups(block_latest, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan → pre-aggregated grouped sums."""
+    ds = sf_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "l_discount": t["l_discount"],
+            "disc_price": disc_price,
+        })
+
+    agg = grouped_sums(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price", "l_discount"],
+    ).to_pandas()
+    n = agg["__cnt__"]
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "l_linestatus": agg["l_linestatus"],
+        "sum_qty": agg["l_quantity"].round(2),
+        "sum_base_price": agg["l_extendedprice"].round(2),
+        "sum_disc_price": agg["disc_price"].round(2),
+        "avg_qty": (agg["l_quantity"] / n).round(4),
+        "avg_price": (agg["l_extendedprice"] / n).round(4),
+        "avg_disc": (agg["l_discount"] / n).round(4),
+        "count_order": n.astype("int64"),
+    })
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def daily_volume(sf_dir: str) -> pd.DataFrame:
+    """M5 analogue: day-bucket volumes over the events stream."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]})
+
+    agg = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"), ["day"], ["value"]).to_pandas()
+    out = pd.DataFrame({
+        "day": pd.to_datetime(agg["day"]),
+        "sum_value": agg["value"].round(2),
+        "n_events": agg["__cnt__"].astype("int64"),
+    })
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    df = latest_per_key(ds, "user_id", "ts").to_pandas()
+    df["value"] = df["value"].round(6)
+    return (df[["user_id", "ts", "event_type", "value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_STATUS_DOMAIN = ["F", "O", "P", "X"]
+
+
+def status_count_domain(sf_dir: str) -> pd.DataFrame:
+    """J3: counts per status LEFT-JOINed onto a fixed domain (0-filled)."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderstatus"])
+    counts = grouped_sums(ds, ["o_orderstatus"], []).to_pandas()
+    m = dict(zip(counts["o_orderstatus"], counts["__cnt__"]))
+    return pd.DataFrame({
+        "o_orderstatus": _STATUS_DOMAIN,
+        "cnt": [int(m.get(s, 0)) for s in _STATUS_DOMAIN],
+    })
+
+
+_PRIORITY_RANK = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
+
+
+def multi_key_sort(sf_dir: str) -> pd.DataFrame:
+    """O1/O2: rank column + multi-key global sort + limit."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        pr = pd.Series(t["o_orderpriority"].to_pylist()).map(_PRIORITY_RANK).fillna(9).astype("int64")
+        return t.append_column("priority_rank", pa.array(pr.to_numpy()))
+
+    out = (ds.map_batches(add_rank, batch_format="pyarrow")
+           .sort(["priority_rank", "o_totalprice", "o_orderkey"],
+                 descending=[False, True, False])
+           .limit(100).to_pandas())
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["o_orderkey", "o_orderpriority", "priority_rank", "o_totalprice"]].reset_index(drop=True)
+
+
+def null_rate_documents(sf_dir: str) -> pd.DataFrame:
+    """Null-rate check over every documents column (A7 partial pattern)."""
+    from anomaly_detection_ray.stages.stats import column_stats
+
+    ds = sf_table(sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    stats = column_stats(ds, cols, with_sketches=False).to_pandas()
+    out = pd.DataFrame({
+        "col_name": stats["column"],
+        "null_count": stats["nulls"].astype("int64"),
+        "row_count": stats["count"].astype("int64"),
+        "null_rate": stats["null_rate"].round(6),
+    })
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def column_stats_lineitem(sf_dir: str) -> pd.DataFrame:
+    """count/min/max/mean/stddev(sample) of l_quantity per returnflag."""
+    ds = sf_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", observed=True)["l_quantity"]
+        out = g.agg(cnt="count", mn="min", mx="max", s="sum")
+        out["ssq"] = g.apply(lambda v: float((v.to_numpy() ** 2).sum()))
+        return out.reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    agg = partials.groupby("l_returnflag").aggregate(
+        Sum("cnt", alias_name="cnt"), Min("mn", alias_name="mn"),
+        Max("mx", alias_name="mx"), Sum("s", alias_name="s"),
+        Sum("ssq", alias_name="ssq"),
+    ).to_pandas()
+    n = agg["cnt"].astype(float)
+    mean = agg["s"] / n
+    var = (agg["ssq"] - n * mean * mean) / (n - 1)
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "cnt": agg["cnt"].astype("int64"),
+        "min_qty": agg["mn"].round(2),
+        "max_qty": agg["mx"].round(2),
+        "mean_qty": mean.round(6),
+        "std_qty": np.sqrt(var.clip(lower=0)).round(6),
+    }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+def distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed COUNT(DISTINCT …): per-block unique partials →
+    groupby key → count groups (no driver-side value list)."""
+    res = {}
+    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+        ds = sf_table(sf_dir, "lineitem", columns=[col])
+
+        def uniq(t: pa.Table, c=col) -> pa.Table:
+            return pa.table({c: pc.unique(t[c])})
+
+        distinct = ds.map_batches(uniq, batch_format="pyarrow").groupby(col).count()
+        res[f"distinct_{col}"] = int(distinct.count())
+    return pd.DataFrame([res])
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Referential anti-join (J4): bloom pre-pass + exact left_anti."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}), batch_format="pyarrow")
+    orphans = referential_orphans(cust, orders, "c_custkey").to_pandas()
+    if "c_custkey" not in orphans.columns:  # empty result loses its schema
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    out = orphans[["c_custkey"]].sort_values("c_custkey").reset_index(drop=True)
+    return out.astype({"c_custkey": "int64"})
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (J1/J2): aggregate the fact side, look the small
+    dimension up from a ray.put map — no shuffle join."""
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = grouped_sums(orders, ["o_custkey"], ["o_totalprice"]).to_pandas()
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    names = ray.get(name_ref)
+    agg["c_name"] = agg["o_custkey"].map(names)
+    agg["revenue"] = agg["o_totalprice"].round(2)
+    out = agg.rename(columns={"o_custkey": "c_custkey"})
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
+    return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned large join: lineitem ⋈ orders on the order key,
+    then pre-aggregated grouped revenue."""
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "revenue": pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        })
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(orders, "inner", num_partitions=16, on=("o_orderkey",))
+    agg = grouped_sums(joined, ["o_orderstatus"], ["revenue"]).to_pandas()
+    return pd.DataFrame({
+        "o_orderstatus": agg["o_orderstatus"],
+        "revenue": agg["revenue"].round(2),
+        "n_items": agg["__cnt__"].astype("int64"),
+    }).sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def duplicate_user_event_pairs(sf_dir: str) -> pd.DataFrame:
+    """Uniqueness-violation shape on a composite key (§2.8)."""
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    agg = grouped_sums(ds, ["user_id", "event_type"], []).to_pandas()
+    out = agg[agg["__cnt__"] > 1].rename(columns={"__cnt__": "cnt"})
+    out["cnt"] = out["cnt"].astype("int64")
+    return (out[["user_id", "event_type", "cnt"]]
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+
+
+def hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate: (event_type, hour) → count, sum."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        })
+
+    agg = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type", "hour"], ["value"]).to_pandas()
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hour": pd.to_datetime(agg["hour"]),
+        "n_events": agg["__cnt__"].astype("int64"),
+        "sum_value": agg["value"].round(2),
+    })
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+_ASOF_CUTOFF = pd.Timestamp("2024-01-15")
+
+
+def asof_latest_value(sf_dir: str) -> pd.DataFrame:
+    """S3 as-of shape: last event at or before a cutoff, per user."""
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    cutoff = pa.scalar(_ASOF_CUTOFF, pa.timestamp("us"))
+    ds = ds.map_batches(lambda t: t.filter(pc.less_equal(t["ts"], cutoff)),
+                        batch_format="pyarrow")
+    df = latest_per_key(ds, "user_id", "ts").to_pandas()
+    df["last_value"] = df["value"].round(6)
+    return (df.rename(columns={"ts": "last_ts"})[["user_id", "last_ts", "last_value"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def props_k_by_type(sf_dir: str) -> pd.DataFrame:
+    """JSON/string extraction (M3 map-lookup analogue): props.k sums."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(\d+)', expand=False).astype("float64")
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    agg = grouped_sums(ds.map_batches(extract, batch_format="pandas"),
+                       ["event_type"], ["k"]).to_pandas()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "sum_k": agg["k"].astype("int64"),
+        "n_events": agg["__cnt__"].astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact content dedup: min doc_id kept per distinct text."""
+    from anomaly_detection_ray.stages.dedup import exact_dedup
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = exact_dedup(ds, ["text"], "doc_id").to_pandas()
+    return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,117 @@
+"""Text-analysis pipelines over the documents table.
+
+Training-data text ops (token counting, quality, language-ID,
+fingerprinting, near-dup detection) as Ray Data stages.  Oracle-SQL-
+expressible results (token counts, md5 fingerprints, length stats) are
+shaped to match DuckDB; heuristic ops (langid, quality score, near-dups)
+are rows-only checks verified by unit tests on synthetic corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from anomaly_detection_ray.functions.text import (
+    detect_language,
+    md5_fingerprint,
+    quality_score,
+    token_count_bpeish,
+    token_count_ws,
+)
+from anomaly_detection_ray.pipelines.relational import grouped_sums
+from anomaly_detection_ray.sources.readers import sf_table
+
+
+def token_counts_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token totals per lang (oracle: regexp_split_to_array)."""
+    ds = sf_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"], "n_tokens": token_count_ws(df["text"])})
+
+    agg = grouped_sums(ds.map_batches(tok, batch_format="pandas"), ["lang"], ["n_tokens"]).to_pandas()
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "total_tokens": agg["n_tokens"].astype("int64"),
+        "n_docs": agg["__cnt__"].astype("int64"),
+    }).sort_values("lang").reset_index(drop=True)
+
+
+def doc_length_stats(sf_dir: str) -> pd.DataFrame:
+    """Length stats per lang, verifying the n_chars column on the way."""
+    ds = sf_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "text_len": df["text"].str.len().astype("int64"),
+            "n_chars_bad": (df["text"].str.len() != df["n_chars"]).astype("int64"),
+        })
+
+    agg = grouped_sums(ds.map_batches(prep, batch_format="pandas"),
+                       ["lang"], ["text_len", "n_chars_bad"]).to_pandas()
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_docs": agg["__cnt__"].astype("int64"),
+        "total_chars": agg["text_len"].astype("int64"),
+        "mean_chars": (agg["text_len"] / agg["__cnt__"]).round(4),
+        "n_chars_mismatches": agg["n_chars_bad"].astype("int64"),
+    }).sort_values("lang").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Exact md5 content fingerprints (oracle: DuckDB md5())."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": md5_fingerprint(df["text"])})
+
+    out = ds.map_batches(fp, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def language_id(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID distribution (rows-only; deterministic)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"detected_lang": detect_language(df["text"])})
+
+    agg = grouped_sums(ds.map_batches(lid, batch_format="pandas"), ["detected_lang"], []).to_pandas()
+    return (pd.DataFrame({"detected_lang": agg["detected_lang"],
+                          "n_docs": agg["__cnt__"].astype("int64")})
+            .sort_values("detected_lang").reset_index(drop=True))
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Composite quality score per doc (rows-only; deterministic)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "quality": quality_score(df["text"]),
+            "n_tokens_bpeish": token_count_bpeish(df["text"]),
+        })
+
+    return ds.map_batches(q, batch_format="pandas").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
+    synthetic near-dup corpus in tests/test_dedup.py)."""
+    from anomaly_detection_ray.stages.dedup import minhash_near_duplicates
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_duplicates(ds, "text", "doc_id", threshold=0.8)
+
+
+def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-duplicate pairs (rows-only)."""
+    from anomaly_detection_ray.stages.dedup import simhash_near_duplicates
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_duplicates(ds, "text", "doc_id", max_hamming=3)

@@ -259,7 +259,9 @@ def validate_clips(
 
     # ---- drift vs baseline snapshot --------------------------------------
     if "drift" in cfg.checks and baseline_stats is not None:
-        dv = drift_verdicts(stats_df, baseline_stats,
+        dcols = list(cfg.drift_columns)
+        dv = drift_verdicts(stats_df[stats_df["column"].isin(dcols)],
+                            baseline_stats[baseline_stats["column"].isin(dcols)],
                             ks_threshold=cfg.drift_ks_threshold,
                             chi2_pvalue=cfg.drift_chi2_pvalue)
         for pid, g in dv.groupby(PARTITION_COL):

@@ -1,0 +1,184 @@
+"""Embedding similarity search over the embeddings table.
+
+- ``embedding_topk``: brute-force cosine top-k — the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul, per-batch
+  top-k partials are reduced driver-side (k × queries rows only).
+- ``knn_label_counts``: LSH-bucketed variant — random-hyperplane signs
+  bucket the vectors; only the query's bucket (± Hamming-1 probes) is
+  scanned.  This is the scale path: at 10^12 rows the buckets become the
+  partitioning key and the probe set is a tiny semi-join.
+- ``embedding_near_dups``: embedding-cosine near-duplicate pairs via the
+  same bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from anomaly_detection_ray.sources.readers import sf_table
+
+_NUM_QUERIES = 5
+_TOP_K = 5
+
+
+def _batch_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def embedding_topk(sf_dir: str, num_queries: int = _NUM_QUERIES, k: int = _TOP_K) -> pd.DataFrame:
+    """Cosine top-k of every vector against the first ``num_queries``
+    vectors (query_id < num_queries), self-match included."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # query matrix: tiny, fetched once, broadcast via ray.put
+    qdf = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], num_queries)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Qn))
+
+    class TopKPartial:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ self.Qn.T  # (batch, queries)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = {
+                "query_id": np.repeat(self.qids, kk),
+                "vec_id": ids[part].T.ravel(),
+                "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+            }
+            return pa.table(rows)
+
+    partials = ds.map_batches(TopKPartial, batch_format="pyarrow",
+                              batch_size=4096, concurrency=2).to_pandas()
+    out = (partials.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id", observed=True).head(k).copy())
+    out["score"] = out["score"].round(5)
+    return out[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+class _LshBuckets:
+    """Random-hyperplane LSH: 12-bit sign bucket per vector."""
+
+    def __init__(self, dim: int = 64, bits: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((dim, bits))
+        self.bits = bits
+
+    def bucket(self, X: np.ndarray) -> np.ndarray:
+        signs = (X @ self.H) > 0
+        return (signs @ (1 << np.arange(self.bits))).astype(np.int64)
+
+
+def knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
+    """IVF/LSH-bucketed approximate kNN: per query, scan only its LSH
+    bucket (plus Hamming-1 probes), vote on labels.  Rows-only check —
+    tests assert ≥90% agreement with brute force on the small table."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    lsh = _LshBuckets()
+    lsh_ref = ray.put(lsh)
+
+    class Bucketize:
+        def __init__(self):
+            self.lsh = ray.get(lsh_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t)
+            return t.append_column("bucket", pa.array(self.lsh.bucket(X)))
+
+    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2).materialize()
+    qdf = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], num_queries)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+
+    probes: set[int] = set()
+    for b in qdf["bucket"]:
+        probes.add(int(b))
+        for i in range(lsh.bits):
+            probes.add(int(b) ^ (1 << i))
+    probe_arr = pa.array(sorted(probes), pa.int64())
+    cand = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=probe_arr)),
+        batch_format="pyarrow").to_pandas()
+
+    CX = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+    CXn = CX / np.maximum(np.linalg.norm(CX, axis=1, keepdims=True), 1e-12)
+    rows = []
+    for _, q in qdf.iterrows():
+        v = np.asarray(q["embedding"], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        sims = CXn @ vn
+        order = np.argsort(-sims)[:k]
+        labels = cand["label"].to_numpy()[order]
+        vals, cnts = np.unique(labels, return_counts=True)
+        top = vals[np.argmax(cnts)]
+        rows.append({"query_id": int(q["vec_id"]), "predicted_label": int(top),
+                     "n_candidates": int(len(cand))})
+    return pd.DataFrame(rows)
+
+
+def brute_force_knn_labels(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
+    """Exact counterpart of knn_label_counts for accuracy tests."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).to_pandas()
+    X = np.stack(ds["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rows = []
+    for qid in range(num_queries):
+        q = Xn[ds["vec_id"].to_numpy() == qid][0]
+        sims = Xn @ q
+        order = np.argsort(-sims)[:k]
+        labels = ds["label"].to_numpy()[order]
+        vals, cnts = np.unique(labels, return_counts=True)
+        rows.append({"query_id": qid, "predicted_label": int(vals[np.argmax(cnts)])})
+    return pd.DataFrame(rows)
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    lsh = _LshBuckets(bits=8)
+    lsh_ref = ray.put(lsh)
+
+    class Bucketize:
+        def __init__(self):
+            self.lsh = ray.get(lsh_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t)
+            return t.append_column("bucket", pa.array(self.lsh.bucket(X)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        g = g.sort_values("vec_id").head(256)
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Xn.T
+        ids = g["vec_id"].to_numpy()
+        iu = np.triu_indices(len(ids), 1)
+        mask = S[iu] >= threshold
+        return pd.DataFrame({"a": ids[iu[0][mask]], "b": ids[iu[1][mask]],
+                             "cosine": np.round(S[iu][mask], 5)})
+
+    out = (ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+           .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas())
+    if out.empty:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -104,7 +104,7 @@ class MinHashBands:
             sig = self.signature(t or "")
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = int(hash64(np.array([chunk.tobytes()], dtype=object))[0] & 0x7FFFFFFFFFFFFFFF)
+                bh = int(hash64(np.array([chunk.tobytes()], dtype=object))[0]) & 0x7FFFFFFFFFFFFFFF
                 band_ids.append(b)
                 band_hashes.append(bh)
                 doc_ids.append(ids[i])

@@ -86,7 +86,8 @@ def drift_verdicts(
             continue
         b = base.loc[key]
         statuses = []
-        if t.get("tdigest") is not None and b.get("tdigest") is not None:
+        numeric = t.get("tdigest") is not None and b.get("tdigest") is not None
+        if numeric:
             ks = ks_statistic(Sketch.from_bytes(t["tdigest"]), Sketch.from_bytes(b["tdigest"]))
             row["ks_stat"] = round(ks, 6)
             row["ks_pvalue"] = round(
@@ -95,7 +96,10 @@ def drift_verdicts(
             statuses.append(ks <= ks_threshold)
             if ks > ks_threshold:
                 row["detail"] = f"KS {ks:.4f} > {ks_threshold}"
-        if t.get("freq") is not None and b.get("freq") is not None:
+        # chi-square only for genuinely categorical columns: numeric columns
+        # are covered by KS (a frequency sketch over thousands of distinct
+        # numeric values is noise, not signal)
+        if not numeric and t.get("freq") is not None and b.get("freq") is not None:
             stat, dof = chi_square(Sketch.from_bytes(t["freq"]), Sketch.from_bytes(b["freq"]))
             p = chi2_sf(stat, dof) if dof > 0 else float("nan")
             row["chi2_stat"] = round(stat, 6) if stat == stat else None

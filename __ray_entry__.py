@@ -116,7 +116,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                          AS sum_qty,
                    round(sum(l_extendedprice), 2)                     AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
                    round(sum(l_quantity) / count(*), 4)               AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 4)          AS avg_price,
                    round(sum(l_discount) / count(*), 4)               AS avg_disc,
@@ -195,7 +195,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_orderstatus": """
             SELECT o_orderstatus,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1

@@ -151,7 +151,8 @@ class SuiteConfig:
                             "clip_ratio", "codec")
     #: batch size for the binary-heavy decode stage (small on purpose)
     decode_batch_size: int = 256
-    decode_concurrency: int = 4
+    #: None → adaptive: max(1, cluster CPUs − 2), leaving read/shuffle headroom
+    decode_concurrency: int | None = None
     #: generic stats batch size
     stats_batch_size: int = 8192
     alpha: float = DEFAULT_ALPHA

@@ -182,7 +182,7 @@ class DSpotDetector:
         x = np.asarray(init_data, dtype=np.float64)
         if x.size < self.depth + 10:
             raise ValueError("DSPOT needs depth+10 calibration points")
-        self._window = list(x[: self.depth])
+        self._window = list(x[-self.depth:])  # last depth points precede the stream
         resid = x[self.depth :] - np.convolve(x, np.ones(self.depth) / self.depth, mode="valid")[:-1]
         self._spot = SpotDetector(q=self.q, level=self.level).fit(resid)
         return self

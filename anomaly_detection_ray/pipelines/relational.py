@@ -113,7 +113,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         "l_linestatus": agg["l_linestatus"],
         "sum_qty": agg["l_quantity"].round(2),
         "sum_base_price": agg["l_extendedprice"].round(2),
-        "sum_disc_price": agg["disc_price"].round(2),
+        "sum_disc_price": agg["disc_price"].round(4),
         "avg_qty": (agg["l_quantity"] / n).round(4),
         "avg_price": (agg["l_extendedprice"] / n).round(4),
         "avg_disc": (agg["l_discount"] / n).round(4),
@@ -287,7 +287,7 @@ def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
     agg = grouped_sums(joined, ["o_orderstatus"], ["revenue"]).to_pandas()
     return pd.DataFrame({
         "o_orderstatus": agg["o_orderstatus"],
-        "revenue": agg["revenue"].round(2),
+        "revenue": agg["revenue"].round(4),
         "n_items": agg["__cnt__"].astype("int64"),
     }).sort_values("o_orderstatus").reset_index(drop=True)
 

@@ -127,6 +127,15 @@ def validate_clips(
         batch_size=cfg.stats_batch_size,
     ).to_pandas()
 
+    if stats_df.empty:
+        # fully-resumed run: every partition already checkpointed
+        empty_v = pd.DataFrame(columns=["evaluated_at", "dataset", PARTITION_COL,
+                                        "quality_check_type", "status",
+                                        "downstream_impact", "additional_debug_info",
+                                        "error_message", "lineage_id"])
+        empty_vi = pd.DataFrame(columns=["clip_id", PARTITION_COL, "check", "detail"])
+        return ValidationResult(empty_v, empty_vi, stats_df)
+
     verdict_rows: list[dict] = []
     violation_frames: list[pd.DataFrame] = []
     partitions = sorted(stats_df[PARTITION_COL].unique())

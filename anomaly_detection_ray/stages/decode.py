@@ -82,10 +82,18 @@ class DecodeStats:
         )
 
 
-def decode_stage(ds, *, batch_size: int = 256, concurrency: int = 4, num_cpus: float = 1):
+def decode_stage(ds, *, batch_size: int = 256, concurrency: int | None = None,
+                 num_cpus: float = 1):
     """Attach the decode actor pool to a clips Dataset.  Small batches on
     purpose: batch_size × payload size × concurrency must fit worker heaps
-    (SURVEY.md §4 memory row)."""
+    (SURVEY.md §4 memory row).  The default pool size leaves headroom for
+    the read/shuffle stages — an actor pool that reserves every CPU
+    starves the producers and the pipeline serializes."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(1, cpus - 2)
     return ds.map_batches(
         DecodeStats,
         batch_format="pyarrow",

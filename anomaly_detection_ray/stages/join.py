@@ -47,18 +47,18 @@ def semi_join_broadcast(left: ray.data.Dataset, key: str, key_set_ref,
                         anti: bool = False) -> ray.data.Dataset:
     """Filter left by membership of ``key`` in a broadcast key set."""
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(key_set_ref)  # once per actor
+    def filt(batch: pa.Table) -> pa.Table:
+        cache = filt.__dict__
+        if "keys" not in cache:
+            cache["keys"] = ray.get(key_set_ref)  # once per worker process
+        keys = cache["keys"]
+        mask = np.fromiter((k in keys for k in batch[key].to_pylist()),
+                           dtype=bool, count=batch.num_rows)
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = np.fromiter((k in self.keys for k in batch[key].to_pylist()),
-                               dtype=bool, count=batch.num_rows)
-            if anti:
-                mask = ~mask
-            return batch.filter(pa.array(mask))
-
-    return left.map_batches(Filt, batch_format="pyarrow", concurrency=2)
+    return left.map_batches(filt, batch_format="pyarrow")
 
 
 def build_bloom(ds: ray.data.Dataset, key: str, capacity: int,
@@ -90,7 +90,7 @@ def referential_orphans(
     *,
     right_count_hint: Optional[int] = None,
     exact: bool = True,
-    num_partitions: int = 16,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Rows of ``left`` whose ``key`` has no match in ``right`` (J4).
 
@@ -104,36 +104,36 @@ def referential_orphans(
     bloom = build_bloom(right, key, cap)
     bloom_ref = ray.put(bloom.to_bytes())
 
-    class NotInBloom:
-        def __init__(self):
-            self.bloom = Sketch.from_bytes(ray.get(bloom_ref))
+    # stateless tasks (not pinned actor pools): the bloom bytes live in the
+    # object store once; each task deserializes lazily via a cached global
+    def _get_bloom():
+        cache = _get_bloom.__dict__
+        if "b" not in cache:
+            cache["b"] = Sketch.from_bytes(ray.get(bloom_ref))
+        return cache["b"]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch[key]
-            null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-            vals = col.to_pandas().to_numpy()
-            present = self.bloom.contains_many(vals)
-            # nulls are orphans by definition; bloom-absent keys are
-            # definite orphans (no false negatives)
-            return batch.filter(pa.array(null_mask | ~present))
+    def not_in_bloom(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        vals = col.to_pandas().to_numpy()
+        present = _get_bloom().contains_many(vals)
+        # nulls are orphans by definition; bloom-absent keys are
+        # definite orphans (no false negatives)
+        return batch.filter(pa.array(null_mask | ~present))
 
-    definite = left.map_batches(NotInBloom, batch_format="pyarrow", concurrency=2)
+    definite = left.map_batches(not_in_bloom, batch_format="pyarrow")
     if not exact:
         return definite
 
     # exact pass: keys the bloom *might* know (false-positive candidates).
-    class MaybePresent:
-        def __init__(self):
-            self.bloom = Sketch.from_bytes(ray.get(bloom_ref))
+    def maybe_present(batch: pa.Table) -> pa.Table:
+        vals = batch[key].to_pandas().to_numpy()
+        mask = _get_bloom().contains_many(vals) & ~pc.is_null(batch[key]).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch[key].to_pandas().to_numpy()
-            mask = self.bloom.contains_many(vals) & ~pc.is_null(batch[key]).to_numpy(
-                zero_copy_only=False
-            )
-            return batch.filter(pa.array(mask))
-
-    candidates = left.map_batches(MaybePresent, batch_format="pyarrow", concurrency=2)
+    candidates = left.map_batches(maybe_present, batch_format="pyarrow")
     right_keys = right.select_columns([key])
     fp_orphans = candidates.join(
         right_keys, "left_anti", num_partitions=num_partitions, on=(key,)

@@ -1,0 +1,94 @@
+"""Audio codec round-trips and the per-row invariant from
+BASELINE.json.input_hint: decoded-PCM SNR ≥ 30 dB + transcript equality
+against the (deterministic) reference signal."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.config import MIN_SNR_DB
+from anomaly_detection_ray.functions.audio import (
+    CODECS,
+    AudioDecodeError,
+    decode_wav,
+    encode_wav,
+    snr_db,
+    ulaw_encode,
+)
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("codec", CODECS)
+@pytest.mark.parametrize("sr", [8000, 16000, 44100])
+def test_roundtrip_snr(codec, sr):
+    t = np.arange(int(sr * 0.25)) / sr
+    sig = np.clip(0.6 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(t.size), -1, 1)
+    dec, sr2, codec2 = decode_wav(encode_wav(sig, sr, codec))
+    assert sr2 == sr and codec2 == codec and dec.size == sig.size
+    assert snr_db(sig, dec) >= MIN_SNR_DB
+
+
+def test_corrupt_payloads_raise():
+    sig = np.sin(np.arange(800) / 100)
+    payload = encode_wav(sig, 8000, "pcm16")
+    with pytest.raises(AudioDecodeError):
+        decode_wav(payload[: len(payload) // 2])
+    with pytest.raises(AudioDecodeError):
+        decode_wav(b"\x00" * 100)
+    with pytest.raises(AudioDecodeError):
+        decode_wav(None)
+
+
+def test_ulaw_encode_decode_table_consistency():
+    x = np.linspace(-1, 1, 1001)
+    dec, _, _ = decode_wav(encode_wav(x, 8000, "ulaw"))
+    assert np.abs(dec - x).max() < 0.04  # µ-law worst-case quantization step
+
+
+def test_generator_invariant_snr_and_transcript():
+    """Regenerate the synthetic generator's reference signal for a few
+    clips and assert the stored payload decodes to it with SNR ≥ 30 dB,
+    and the side-table transcript equals the clips transcript."""
+    from anomaly_detection_ray.sources.synth import make_clips_chunk, make_transcripts_chunk
+
+    clips = make_clips_chunk(42, 0, 200)
+    tr = make_transcripts_chunk(42, 0, 200)
+    tr_map = dict(zip(tr["clip_id"].to_pylist(), tr["transcript"].to_pylist()))
+
+    # reproduce the generator's signal parameters deterministically
+    n = 200
+    g = np.random.default_rng((42, 0, 0))
+    g.random(n)  # dup mask
+    g.choice(np.array(["pcm16", "pcm8", "f32", "ulaw"]), size=n,
+             p=np.array([0.80, 0.08, 0.07, 0.05]))
+    g.choice(np.array([8000, 16000, 22050, 44100]), size=n,
+             p=np.array([0.10, 0.70, 0.10, 0.10]))
+    g.normal(650.0, 220.0, size=n)
+    # skip transcripts draws
+    lens = g.integers(3, 12, size=n)
+    g.choice(np.array("x".split()) if False else np.array(
+        "the a and of to in is it that was hello world audio clip speech test "
+        "sound noise voice signal data quality check table row batch".split()),
+        size=int(lens.sum()))
+    g.random(n); g.random(n); g.random(n)  # null/corrupt/mismatch masks
+    freqs = g.uniform(100, 2000, size=n)
+    amps = g.uniform(0.2, 0.8, size=n)
+
+    ok_checked = 0
+    for i in range(n):
+        payload = clips["bytes"][i].as_py()
+        sr = clips["sr_hz"][i].as_py()
+        cid = clips["clip_id"][i].as_py()
+        try:
+            dec, sr2, _ = decode_wav(payload)
+        except AudioDecodeError:
+            continue  # planted corruption
+        dur = clips["dur_ms"][i].as_py()
+        ns = dec.size
+        t = np.arange(ns) / sr
+        ref = amps[i] * np.sin(2 * np.pi * freqs[i] * t)
+        assert snr_db(ref, dec) >= MIN_SNR_DB, f"clip {i} SNR too low"
+        if cid in tr_map and tr_map[cid] is not None:
+            assert tr_map[cid] == clips["transcript"][i].as_py()
+        ok_checked += 1
+    assert ok_checked > 150

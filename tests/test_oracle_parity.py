@@ -1,0 +1,56 @@
+"""DuckDB-oracle parity at sf0.001 (the driver runs the same comparison at
+sf0.01) — row count + schema + order-insensitive values for every
+SQL-expressible query in __ray_entry__."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.parity import TABLES, compare, to_pandas  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _entry():
+    import __ray_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+QUERIES, SQLS = _entry()
+ORACLED = sorted(SQLS)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, oracle_con):
+    ours = to_pandas(QUERIES[name](SF_DIR))
+    oracle = oracle_con.sql(SQLS[name]).df()
+    problems = compare(name, ours, oracle)
+    assert not problems, problems
+
+
+def test_every_oracle_has_query():
+    missing = set(SQLS) - set(QUERIES)
+    assert not missing
+
+
+def test_entry_returns_verdicts():
+    import __ray_entry__ as m
+
+    v = m.entry()
+    assert len(v) > 0
+    assert {"partition_id", "quality_check_type", "status"} <= set(v.columns)

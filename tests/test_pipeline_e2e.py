@@ -1,0 +1,194 @@
+"""End-to-end validation suite: planted violations are found, verdicts
+follow the reference ordering, checkpoint/resume skips finished
+partitions, freshness/completeness verdicts match the planted cadences."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray.config import SuiteConfig
+from anomaly_detection_ray.pipelines import history
+from anomaly_detection_ray.pipelines.validate import validate_clips
+from anomaly_detection_ray.sources.synth import clips_path, history_path, transcripts_path
+from anomaly_detection_ray.state.checkpoint import RunCheckpoint
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def suite_result():
+    cfg = SuiteConfig(num_partitions=4, decode_concurrency=2)
+    return validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+
+
+class TestSuite:
+    def test_all_checks_present(self, suite_result):
+        checks = set(suite_result.verdicts["quality_check_type"])
+        assert {"schema", "null_rate", "column_stats", "uniqueness",
+                "referential", "audio_decode"} <= checks
+
+    def test_planted_violations_found(self, suite_result):
+        v = suite_result.violations
+        by_check = v.groupby("check").size()
+        # generator plants ~0.1-0.2% of each violation class in 3000 rows
+        assert by_check.get("uniqueness", 0) >= 1
+        assert by_check.get("audio_decode", 0) >= 1
+        assert by_check.get("referential", 0) >= 1
+        assert by_check.get("null_rate", 0) >= 1
+        # duplicate ids really are duplicated in the source
+        dup_ids = v[v["check"] == "uniqueness"]["clip_id"]
+        assert dup_ids.is_unique
+
+    def test_verdict_ordering(self, suite_result):
+        """Reference O1/O2: violations (Unhealthy) sort before Healthy."""
+        from anomaly_detection_ray.functions.verdicts import HEALTH_STATUS_ORDER, status_rank
+
+        ranks = [status_rank(s, HEALTH_STATUS_ORDER)
+                 for s in suite_result.verdicts["status"]]
+        assert ranks == sorted(ranks)
+
+    def test_verdict_arrow_schema(self, suite_result):
+        from anomaly_detection_ray.schema import VERDICT_SCHEMA
+
+        t = suite_result.verdict_table()
+        assert t.schema.equals(VERDICT_SCHEMA)
+        # debug-map values are strings by contract
+        dbg = t["additional_debug_info"][0].as_py()
+        for _, inner in dbg:
+            for _, val in inner:
+                assert isinstance(val, str)
+
+    def test_stats_cover_all_partitions(self, suite_result):
+        assert suite_result.stats["partition_id"].nunique() == 4
+
+    def test_deterministic(self, suite_result):
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2)
+        again = validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+        pd.testing.assert_frame_equal(
+            suite_result.verdicts.drop(columns=["evaluated_at"]),
+            again.verdicts.drop(columns=["evaluated_at"]),
+        )
+        pd.testing.assert_frame_equal(suite_result.violations, again.violations)
+
+
+class TestCheckpointResume:
+    def test_resume_skips_done_partitions(self, tmp_path):
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          checks=("null_rate", "uniqueness", "audio_decode"))
+        root = str(tmp_path / "run1")
+        cp = RunCheckpoint(root, "clips", 1_754_000_000.0)
+        res = validate_clips(clips_path(N), config=cfg, checkpoint=cp)
+        assert len(cp.completed) == 4
+        assert os.path.exists(os.path.join(root, "manifest.json"))
+
+        # resumed run: everything already done → no verdict work remains
+        cp2 = RunCheckpoint(root, "clips", 1_754_000_000.0)
+        assert cp2.completed == cp.completed
+        res2 = validate_clips(clips_path(N), config=cfg, checkpoint=cp2)
+        assert len(res2.stats) == 0  # no pending partitions flowed through
+
+        # checkpointed verdicts read back whole
+        all_v = cp2.read_all("verdicts")
+        assert all_v is not None
+        assert set(all_v["partition_id"].to_pylist()) == cp.completed
+
+    def test_partial_resume(self, tmp_path):
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          checks=("null_rate",))
+        root = str(tmp_path / "run2")
+        cp = RunCheckpoint(root, "clips", 1.0)
+        res = validate_clips(clips_path(N), config=cfg, checkpoint=cp)
+        # drop two partitions from the manifest → only those two re-run
+        import json
+
+        m = json.load(open(os.path.join(root, "manifest.json")))
+        for pid in list(m)[:2]:
+            del m[pid]
+        json.dump(m, open(os.path.join(root, "manifest.json"), "w"))
+        cp2 = RunCheckpoint(root, "clips", 1.0)
+        res2 = validate_clips(clips_path(N), config=cfg, checkpoint=cp2)
+        assert set(res2.stats["partition_id"]) == set(cp.completed) - set(m)
+        assert len(cp2.completed) == 4
+
+
+class TestHistoryVerdicts:
+    def test_freshness_matches_planted_cadences(self):
+        out = history.freshness_verdicts(history_path(20))
+        st = dict(zip(out["partition_id"], out["status"]))
+        # cadences cycle hourly/daily/weekly/static/late by partition index
+        for p, kind in [(0, "hourly"), (1, "daily"), (2, "weekly"), (3, "static"), (4, "late")]:
+            pid = f"part-{p:04d}"
+            if kind in ("hourly", "daily", "weekly"):
+                assert st[pid] == "Healthy", (pid, kind)
+            elif kind == "static":
+                assert st[pid] == "Healthy"
+                assert out[out["partition_id"] == pid]["is_static"].iloc[0]
+            else:  # late: hourly cadence silent for 8h → stale
+                assert st[pid] == "Unhealthy", (pid, kind)
+
+    def test_completeness_runs_all_partitions(self):
+        out = history.completeness_verdicts(history_path(20))
+        assert len(out) == 20
+        assert set(out["status"]) <= {"Healthy", "Unhealthy", "Unknown"}
+
+    def test_daily_volumes_deterministic(self):
+        a = history.daily_history_volumes(history_path(20))
+        b = history.daily_history_volumes(history_path(20))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestVectorAccuracy:
+    def test_lsh_knn_agrees_with_brute_force(self, tmp_path):
+        """LSH kNN vs brute force on clustered vectors (the driver's random
+        embeddings have no neighborhood structure, so accuracy is asserted
+        on a synthetic clustered table of the same schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.vectors import (
+            brute_force_knn_labels,
+            knn_label_counts,
+        )
+
+        g = np.random.default_rng(17)
+        centers = g.standard_normal((10, 64)) * 3
+        labels = g.integers(0, 10, 600)
+        X = centers[labels] + g.standard_normal((600, 64)) * 0.5
+        t = pa.table({
+            "vec_id": pa.array(np.arange(600), pa.int64()),
+            "embedding": pa.array([r.astype(np.float32) for r in X],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        })
+        d = tmp_path / "clustered"
+        d.mkdir()
+        pq.write_table(t, d / "embeddings.parquet")
+        approx = knn_label_counts(str(d), num_queries=20)
+        exact = brute_force_knn_labels(str(d), num_queries=20)
+        merged = approx.merge(exact, on="query_id", suffixes=("_a", "_e"))
+        agree = (merged["predicted_label_a"] == merged["predicted_label_e"]).mean()
+        assert agree >= 0.9
+
+    def test_hll_distinct_tolerance(self):
+        import duckdb
+
+        sf = "/root/testdata/sf0.001"
+        est = history.hll_distinct_users(sf)["distinct_est"].iloc[0]
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'").fetchone()[0]
+        assert abs(est - exact) / exact < 0.02
+
+    def test_quantile_tolerance(self):
+        import duckdb
+
+        sf = "/root/testdata/sf0.001"
+        ours = history.value_quantiles(sf)
+        for _, r in ours.iterrows():
+            exact = duckdb.sql(
+                f"SELECT quantile_cont(value, {r['q']}) FROM '{sf}/events.parquet'"
+            ).fetchone()[0]
+            spread = duckdb.sql(
+                f"SELECT max(value)-min(value) FROM '{sf}/events.parquet'").fetchone()[0]
+            assert abs(r["value_quantile"] - exact) < 0.02 * spread

@@ -1,0 +1,137 @@
+"""Sketch merge laws: associativity / order-invariance / accuracy bounds
+(SURVEY.md §5: the merge laws are the engine's correctness pivot — two runs
+with different block layouts must produce identical verdicts)."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.state.sketches import (
+    BloomFilter,
+    FreqSketch,
+    HyperLogLog,
+    MinHasher,
+    Sketch,
+    TDigest,
+    chi_square,
+    hamming64,
+    ks_statistic,
+    simhash64,
+)
+
+rng = np.random.default_rng(12345)
+
+
+def _ids(n, card):
+    return np.array([f"id-{i}" for i in rng.integers(0, card, size=n)], dtype=object)
+
+
+class TestHLL:
+    def test_accuracy(self):
+        vals = _ids(100_000, 30_000)
+        h = HyperLogLog().add_many(vals)
+        exact = len(set(vals.tolist()))
+        assert abs(h.estimate() - exact) / exact < 0.03
+
+    def test_merge_order_invariance(self):
+        vals = _ids(30_000, 10_000)
+        chunks = np.array_split(vals, 7)
+        whole = HyperLogLog().add_many(vals)
+        # merge in two different orders → identical registers
+        a = HyperLogLog()
+        for c in chunks:
+            a.merge(HyperLogLog().add_many(c))
+        b = HyperLogLog()
+        for c in reversed(chunks):
+            b.merge(HyperLogLog().add_many(c))
+        assert np.array_equal(a.registers, b.registers)
+        assert np.array_equal(a.registers, whole.registers)
+
+    def test_serialization(self):
+        h = HyperLogLog().add_many(_ids(1000, 500))
+        h2 = Sketch.from_bytes(h.to_bytes())
+        assert h2.estimate() == h.estimate()
+
+    def test_small_range_correction(self):
+        h = HyperLogLog().add_many(np.array(["a", "b", "c"], dtype=object))
+        assert 2.5 <= h.estimate() <= 3.5
+
+
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        x = rng.normal(100, 15, 200_000)
+        td = TDigest()
+        for c in np.array_split(x, 23):
+            td.add_many(c)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert abs(td.quantile([q])[0] - np.quantile(x, q)) < 0.5
+
+    def test_merge_matches_whole(self):
+        x = rng.exponential(5, 100_000)
+        whole = TDigest().add_many(x)
+        parts = [TDigest().add_many(c) for c in np.array_split(x, 9)]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        qs = [0.1, 0.5, 0.9, 0.99]
+        assert np.allclose(merged.quantile(qs), whole.quantile(qs), rtol=0.05, atol=0.1)
+
+    def test_ks_detects_shift(self):
+        a = TDigest().add_many(rng.normal(0, 1, 50_000))
+        b = TDigest().add_many(rng.normal(0.5, 1, 50_000))
+        c = TDigest().add_many(rng.normal(0, 1, 50_000))
+        assert ks_statistic(a, b) > 0.15
+        assert ks_statistic(a, c) < 0.03
+
+    def test_total_weight(self):
+        td = TDigest().add_many(np.arange(1000.0))
+        assert td.total_weight == 1000
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        keys = np.array([f"k{i}" for i in range(20_000)], dtype=object)
+        bf = BloomFilter(20_000, 0.01).add_many(keys)
+        assert bf.contains_many(keys).all()
+
+    def test_fpp_bound(self):
+        keys = np.array([f"k{i}" for i in range(20_000)], dtype=object)
+        other = np.array([f"x{i}" for i in range(20_000)], dtype=object)
+        bf = BloomFilter(20_000, 0.01).add_many(keys)
+        assert bf.contains_many(other).mean() < 0.03
+
+    def test_merge(self):
+        a = BloomFilter(1000, 0.01).add_many(np.array(["a", "b"], dtype=object))
+        b = BloomFilter(1000, 0.01).add_many(np.array(["c"], dtype=object))
+        a.merge(b)
+        assert a.contains_many(np.array(["a", "b", "c"], dtype=object)).all()
+
+
+class TestFreq:
+    def test_merge_and_chi2(self):
+        f1 = FreqSketch().add_many(["a"] * 500 + ["b"] * 500)
+        f2 = FreqSketch().add_many(["a"] * 500 + ["b"] * 500)
+        f1.merge(f2)
+        assert f1.counts == {"a": 1000, "b": 1000}
+        same = FreqSketch().add_many(["a"] * 100 + ["b"] * 100)
+        stat, dof = chi_square(same, f1)
+        assert stat < 1e-9 and dof == 1
+        skew = FreqSketch().add_many(["a"] * 190 + ["b"] * 10)
+        stat2, _ = chi_square(skew, f1)
+        assert stat2 > 100
+
+
+class TestMinHashSimHash:
+    def test_jaccard_estimate(self):
+        mh = MinHasher(256)
+        a = np.arange(0, 1000, dtype=np.uint64)
+        b = np.arange(200, 1200, dtype=np.uint64)
+        est = (mh.signature(a) == mh.signature(b)).mean()
+        true = 800 / 1200
+        assert abs(est - true) < 0.1
+
+    def test_simhash_similarity(self):
+        t = rng.integers(0, 2**63, size=200).astype(np.uint64)
+        full = simhash64(t)
+        near = simhash64(t[:190])
+        far = simhash64(rng.integers(0, 2**63, size=200).astype(np.uint64))
+        assert hamming64(np.array([near]), full)[0] < hamming64(np.array([far]), full)[0]

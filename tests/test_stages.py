@@ -1,0 +1,158 @@
+"""Ray Data stage tests: stats partial-merge vs ground truth, dedup
+(exact + MinHash-LSH + SimHash on a synthetic near-dup corpus), joins,
+salted groupby, latest-per-key."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from anomaly_detection_ray.stages.dedup import (
+    duplicate_key_counts,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from anomaly_detection_ray.stages.join import build_bloom, referential_orphans
+from anomaly_detection_ray.stages.stats import (
+    GLOBAL_KEY,
+    column_stats,
+    salted_groupby_sum,
+)
+
+rng = np.random.default_rng(9)
+
+
+@pytest.fixture(scope="module")
+def num_df():
+    n = 20_000
+    return pd.DataFrame({
+        "part": rng.choice(["a", "b", "c"], n, p=[0.8, 0.15, 0.05]),  # skewed
+        "x": rng.normal(10, 3, n),
+        "y": np.where(rng.random(n) < 0.1, np.nan, rng.exponential(2, n)),
+        "k": rng.integers(0, 500, n),
+    })
+
+
+class TestColumnStats:
+    def test_matches_pandas_ground_truth(self, num_df):
+        ds = rd.from_pandas(num_df).repartition(8)
+        out = column_stats(ds, ["x", "y"], partition_col="part",
+                           batch_size=1000).to_pandas()
+        for part, g in num_df.groupby("part"):
+            for col in ("x", "y"):
+                r = out[(out["partition_id"] == part) & (out["column"] == col)].iloc[0]
+                v = g[col].dropna()
+                assert r["count"] == len(g)
+                assert r["nulls"] == g[col].isna().sum()
+                assert r["min"] == pytest.approx(v.min())
+                assert r["max"] == pytest.approx(v.max())
+                assert r["mean"] == pytest.approx(v.mean(), rel=1e-9)
+                assert r["stddev"] == pytest.approx(v.std(ddof=1), rel=1e-6)
+
+    def test_distinct_estimate(self, num_df):
+        ds = rd.from_pandas(num_df).repartition(4)
+        out = column_stats(ds, ["k"], batch_size=3000).to_pandas()
+        r = out.iloc[0]
+        assert r["partition_id"] == GLOBAL_KEY
+        exact = num_df["k"].nunique()
+        assert abs(r["distinct_est"] - exact) / exact < 0.05
+
+    def test_layout_invariance(self, num_df):
+        """Same stats regardless of block layout (the N vs 4N guarantee)."""
+        a = column_stats(rd.from_pandas(num_df).repartition(2), ["x"],
+                         batch_size=7000).to_pandas()
+        b = column_stats(rd.from_pandas(num_df).repartition(13), ["x"],
+                         batch_size=911).to_pandas()
+        for col in ("count", "nulls", "min", "max", "mean"):
+            assert a[col].iloc[0] == pytest.approx(b[col].iloc[0], rel=1e-12)
+        # sketch-backed values agree to sketch accuracy
+        assert a["distinct_est"].iloc[0] == pytest.approx(b["distinct_est"].iloc[0], rel=0.02)
+
+
+class TestSaltedGroupby:
+    def test_matches_plain_groupby(self, num_df):
+        ds = rd.from_pandas(num_df).repartition(6)
+        out = salted_groupby_sum(ds, "part", ["x"], salt=4, id_col="k").to_pandas()
+        truth = num_df.groupby("part")["x"].sum()
+        for _, r in out.iterrows():
+            assert r["x"] == pytest.approx(truth[r["part"]], rel=1e-9)
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self):
+        df = pd.DataFrame({
+            "id": range(10),
+            "text": ["dup"] * 3 + [f"u{i}" for i in range(6)] + ["dup"],
+        })
+        ds = rd.from_pandas(df)
+        kept = exact_dedup(ds, ["text"], "id").to_pandas()
+        assert len(kept) == 7
+        assert kept[kept["text"] == "dup"]["id"].iloc[0] == 0
+
+    def test_duplicate_key_counts(self):
+        ds = rd.from_items([{"k": "a"}, {"k": "a"}, {"k": "b"}, {"k": "c"}, {"k": "c"}, {"k": "c"}])
+        out = duplicate_key_counts(ds, "k").to_pandas().sort_values("k")
+        assert out["k"].tolist() == ["a", "c"]
+        assert out["cnt"].tolist() == [2, 3]
+
+    @pytest.fixture(scope="class")
+    def near_dup_corpus(self):
+        """100 base docs + 10 near-duplicates (one word changed) + 5 exact."""
+        vocab = np.array("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                         "lambda mu nu xi omicron pi rho sigma tau upsilon".split())
+        g = np.random.default_rng(3)
+        docs = [" ".join(g.choice(vocab, 40)) for _ in range(100)]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+        expected_pairs = set()
+        for j in range(10):  # near dup of doc j: change one word
+            words = docs[j].split()
+            words[5] = "CHANGED"
+            rows.append({"doc_id": 100 + j, "text": " ".join(words)})
+            expected_pairs.add((j, 100 + j))
+        for j in range(5):  # exact dups
+            rows.append({"doc_id": 200 + j, "text": docs[j]})
+            expected_pairs.add((j, 200 + j))
+        return pd.DataFrame(rows), expected_pairs
+
+    def test_minhash_lsh_finds_planted_pairs(self, near_dup_corpus):
+        df, expected = near_dup_corpus
+        ds = rd.from_pandas(df)
+        pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.7)
+        found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+        missed = expected - found
+        assert not missed, f"missed planted near-dups: {missed}"
+        # no wild false positives among unrelated random docs
+        extras = {p for p in found - expected if p[0] < 100 and p[1] < 100}
+        assert len(extras) <= 2
+
+    def test_simhash_finds_exact_and_near(self, near_dup_corpus):
+        df, expected = near_dup_corpus
+        ds = rd.from_pandas(df)
+        pairs = simhash_near_duplicates(ds, "text", "doc_id", max_hamming=6)
+        found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+        exact_expected = {p for p in expected if p[1] >= 200}
+        assert exact_expected <= found
+
+
+class TestReferential:
+    def test_bloom_no_false_negatives(self):
+        right = rd.from_items([{"k": f"r{i}"} for i in range(5000)])
+        bloom = build_bloom(right, "k", 5000)
+        keys = np.array([f"r{i}" for i in range(5000)], dtype=object)
+        assert bloom.contains_many(keys).all()
+
+    def test_orphans_exact(self):
+        left = rd.from_items([{"k": f"x{i}"} for i in range(1000)])
+        right = rd.from_items([{"k": f"x{i}"} for i in range(0, 1000, 2)])  # evens only
+        orphans = referential_orphans(left, right, "k").to_pandas()
+        got = sorted(orphans["k"])
+        expected = sorted(f"x{i}" for i in range(1, 1000, 2))
+        assert got == expected
+
+    def test_null_keys_are_orphans(self):
+        left = rd.from_items([{"k": "a"}, {"k": None}, {"k": "b"}])
+        right = rd.from_items([{"k": "a"}, {"k": "b"}])
+        orphans = referential_orphans(left, right, "k").to_pandas()
+        assert len(orphans) == 1 and orphans["k"].isna().all()

@@ -1,0 +1,108 @@
+"""Text analysis functions and the SPOT / Huber streaming detectors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray.functions.detectors import (
+    DSpotDetector,
+    HuberDetector,
+    SpotDetector,
+    huber_location_scale,
+)
+from anomaly_detection_ray.functions.text import (
+    char_shingle_hashes,
+    detect_language,
+    jaccard,
+    md5_fingerprint,
+    quality_score,
+    token_count_bpeish,
+    token_count_ws,
+    winnow_fingerprints,
+    word_ngram_sets,
+)
+
+rng = np.random.default_rng(5)
+
+
+class TestText:
+    def test_token_counts(self):
+        s = pd.Series(["a b  c", "", None, "  x  ", "one"])
+        assert token_count_ws(s).tolist() == [3, 0, 0, 1, 1]
+        assert token_count_bpeish(pd.Series(["hello world, it's 42"]))[0] >= 5
+
+    def test_language_id(self):
+        s = pd.Series([
+            "the cat and the dog was in it",
+            "el perro y la casa de los niños",
+            "der hund und die katze ist nicht da",
+            "le chien et la maison des enfants",
+            "这是一个中文句子测试",
+        ])
+        assert detect_language(s).tolist() == ["en", "es", "de", "fr", "zh"]
+
+    def test_quality_monotone_in_substance(self):
+        good = quality_score(pd.Series(["a reasonable sentence with plenty of words and content here now"]))
+        bad = quality_score(pd.Series(["!!! ??? ... ###"]))
+        assert good[0] > bad[0]
+
+    def test_fingerprints_deterministic(self):
+        s = pd.Series(["doc one", "doc two"])
+        assert (md5_fingerprint(s) == md5_fingerprint(s)).all()
+        w1 = winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+        w2 = winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+        assert np.array_equal(w1, w2)
+        # near-identical docs share most winnow fingerprints
+        w3 = winnow_fingerprints("the quick brown fox jumps over the lazy cat")
+        inter = np.intersect1d(w1, w3).size
+        assert inter / w1.size > 0.5
+
+    def test_jaccard_and_ngrams(self):
+        a = char_shingle_hashes("abcdefghij")
+        assert jaccard(a, a) == 1.0
+        sets = word_ngram_sets(pd.Series(["a b c d e", "a b c d x"]), n=3)
+        assert 0 < jaccard(sets[0], sets[1]) < 1
+
+
+class TestSpot:
+    def test_alarms_on_extremes_only(self):
+        calib = rng.standard_normal(2000)
+        s = SpotDetector(q=1e-4).fit(calib)
+        stream = rng.standard_normal(1000)
+        stream[500] = 15.0
+        alarms = s.score_series(stream)
+        assert alarms[500]
+        assert alarms.sum() <= 3  # essentially only the planted extreme
+
+    def test_needs_calibration(self):
+        with pytest.raises(ValueError):
+            SpotDetector().fit(np.arange(5.0))
+
+    def test_dspot_handles_drift(self):
+        n = 1200
+        base = np.linspace(0, 30, n) + rng.standard_normal(n)  # strong drift
+        d = DSpotDetector(q=1e-4).fit(base[:400])
+        stream = base[400:].copy()
+        stream[600] += 14.0
+        alarms = d.score_series(stream)
+        assert alarms[600]
+        assert alarms.sum() <= 5
+
+
+class TestHuber:
+    def test_tolerance_contract(self):
+        # reference third_party/univariate.py: ±5·scale, directional
+        x = rng.normal(50, 2, 500)
+        det = HuberDetector().fit(x)
+        s = det.score(np.array([50.0, 50 + 20, 50 - 20]))
+        assert s.tolist() == [0, 1, -1]
+
+    def test_min_points_contract(self):
+        with pytest.raises(ValueError):
+            HuberDetector().fit(np.arange(9.0))
+
+    def test_robust_to_outliers_in_fit(self):
+        x = np.concatenate([rng.normal(10, 1, 300), [1000.0, -1000.0]])
+        mu, s = huber_location_scale(x)
+        assert abs(mu - 10) < 0.5
+        assert s < 3

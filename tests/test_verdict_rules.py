@@ -1,0 +1,159 @@
+"""Verdict rules F6-F14 as pure functions on toy series — the golden
+semantics carried from the reference (thresholds cited in
+anomaly_detection_ray/config.py)."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.functions.forecast import (
+    fit_ar,
+    infer_period,
+    synthesize_training_data,
+)
+from anomaly_detection_ray.functions.verdicts import (
+    HEALTHY,
+    UNHEALTHY,
+    UNKNOWN,
+    check_commit_freshness,
+    check_completeness,
+    check_event_freshness,
+    commit_grace_seconds,
+    event_grace_seconds,
+    format_duration,
+)
+
+rng = np.random.default_rng(7)
+BASE = 1_700_000_000.0
+
+
+def hourly(n=300, jitter=60):
+    return BASE + np.cumsum(rng.normal(3600, jitter, n))
+
+
+class TestCommitFreshness:
+    def test_on_time_is_healthy(self):
+        ts = hourly()
+        assert check_commit_freshness(ts, ts[-1] + 1800).status == HEALTHY
+
+    def test_very_late_is_unhealthy(self):
+        ts = hourly()
+        v = check_commit_freshness(ts, ts[-1] + 48 * 3600)
+        assert v.status == UNHEALTHY
+        assert v.staleness_age_seconds > 0
+
+    def test_single_point_unknown(self):
+        v = check_commit_freshness(np.array([BASE]), BASE + 10)
+        assert v.status == UNKNOWN
+        assert v.error_code == "NOT_ENOUGH_UPDATE_OPERATIONS"
+
+    def test_empty_unknown(self):
+        assert check_commit_freshness(np.array([]), BASE).status == UNKNOWN
+
+    def test_static_table_short_circuit(self):
+        # reference F10: >30 days old → Fresh/Healthy without prediction
+        ts = hourly(50)
+        v = check_commit_freshness(ts, ts[-1] + 31 * 86400)
+        assert v.status == HEALTHY and v.is_static
+
+    def test_constant_threshold_override(self):
+        # reference F8: Fresh iff eval ≤ last + threshold
+        ts = hourly(10)
+        ok = check_commit_freshness(ts, ts[-1] + 500, constant_threshold_seconds=600)
+        bad = check_commit_freshness(ts, ts[-1] + 700, constant_threshold_seconds=600)
+        assert ok.status == HEALTHY and bad.status == UNHEALTHY
+        assert bad.staleness_age_seconds == pytest.approx(100, abs=1)
+
+    def test_grace_period_bounds(self):
+        # reference F11 exact breakpoints
+        fast = np.full(100, 600.0)       # 10-min cadence
+        assert commit_grace_seconds(fast) == pytest.approx(15 * 60)  # floor
+        slow = np.full(100, 4 * 86400.0)  # 4-day cadence
+        assert commit_grace_seconds(slow) == pytest.approx(12 * 3600)  # cap
+        mid = np.full(100, 2 * 3600.0)
+        assert commit_grace_seconds(mid) == pytest.approx(3600)  # 0.5·Δmed
+        lat_fast = np.full(50, 100.0)
+        assert event_grace_seconds(lat_fast) == pytest.approx(3600)  # event floor
+
+    def test_max_grace_testing_hook(self):
+        # reference model_config.py:14-15: testing hook caps the grace
+        ts = hourly()
+        # eval at +75 min: inside the 30-min grace window, outside the bare CI
+        loose = check_commit_freshness(ts, ts[-1] + 4500)
+        tight = check_commit_freshness(ts, ts[-1] + 4500, max_grace_period_minutes=0)
+        assert loose.status == HEALTHY
+        assert tight.status == UNHEALTHY
+
+
+class TestEventFreshness:
+    def test_latency_within_bound(self):
+        lat = rng.normal(600, 30, 50)
+        assert check_event_freshness(lat, 620).status == HEALTHY
+        assert check_event_freshness(lat, 3 * 86400).status == UNHEALTHY
+
+    def test_too_few_points(self):
+        assert check_event_freshness(np.array([1.0, 2.0]), 1.0).status == UNKNOWN
+
+    def test_constant_override(self):
+        assert check_event_freshness(np.array([]), 50,
+                                     constant_threshold_seconds=60).status == HEALTHY
+        assert check_event_freshness(np.array([]), 70,
+                                     constant_threshold_seconds=60).status == UNHEALTHY
+
+
+class TestCompleteness:
+    def test_normal_volume_healthy(self):
+        vols = np.concatenate([rng.normal(1000, 25, 30), [995]])
+        assert check_completeness(vols, num_commits=100).status == HEALTHY
+
+    def test_big_drop_unhealthy(self):
+        vols = np.concatenate([rng.normal(1000, 25, 30), [300]])
+        v = check_completeness(vols, num_commits=100)
+        assert v.status == UNHEALTHY
+        assert v.predicted_lower_bound >= 0  # reference F13 max(int(lower),0)
+
+    def test_guards(self):
+        # <2 commits → NOT_ENOUGH_UPDATE_OPERATIONS (reference F13 guard)
+        v = check_completeness(rng.normal(100, 5, 20), num_commits=1)
+        assert v.status == UNKNOWN and v.error_code == "NOT_ENOUGH_UPDATE_OPERATIONS"
+        # ≤7 buckets → NOT_ENOUGH_TABLE_HISTORY
+        v = check_completeness(rng.normal(100, 5, 7), num_commits=50)
+        assert v.status == UNKNOWN and v.error_code == "NOT_ENOUGH_TABLE_HISTORY"
+
+    def test_constant_threshold(self):
+        vols = np.array([10.0, 20.0, 5.0])
+        assert check_completeness(vols, constant_threshold=4).status == HEALTHY
+        assert check_completeness(vols, constant_threshold=6).status == UNHEALTHY
+
+
+class TestForecaster:
+    def test_seasonality_inferred(self):
+        x = np.tile([10, 20, 30, 40, 50, 60, 70], 30) + rng.normal(0, 0.3, 210)
+        assert infer_period(x) == 7
+
+    def test_synth_is_deterministic(self):
+        x = np.tile([100.0, 200.0, 300.0], 10)
+        a = synthesize_training_data(x, 3)
+        b = synthesize_training_data(x, 3)
+        assert np.array_equal(a, b)
+        assert a.size >= 250
+
+    def test_ar_forecast_tracks_level(self):
+        x = rng.normal(500, 10, 300)
+        res = fit_ar(x).predict_next()
+        assert 450 < res.forecast < 550
+        assert res.lower < res.forecast < res.upper
+
+    def test_warm_update(self):
+        m = fit_ar(rng.normal(100, 5, 100))
+        n0 = m.history.size
+        m.update(np.array([101.0, 99.0]))
+        assert m.history.size == n0 + 2
+        assert 80 < m.predict_next().forecast < 120
+
+
+def test_format_duration():
+    # reference M6 semantics (freshness_utils.py:58-81)
+    assert format_duration(None) is None
+    assert format_duration(45) == "45 sec"
+    assert format_duration(3660) == "1 hr 1 min"
+    assert format_duration(90061) == "1 day(s) 1 hr 1 min"

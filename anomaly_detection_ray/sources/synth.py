@@ -215,11 +215,22 @@ def _materialize(out: str, n_rows: int, make_chunk) -> str:
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     n_chunks = max((n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS, 1)
-    for c in range(n_chunks):
-        m = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
-        if m <= 0:
-            break
-        pq.write_table(make_chunk(c, m), os.path.join(tmp, f"chunk-{c:05d}.parquet"))
+    sizes = [(c, min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)) for c in range(n_chunks)]
+    sizes = [(c, m) for c, m in sizes if m > 0]
+
+    import ray
+
+    if ray.is_initialized() and len(sizes) > 4:
+        # chunk generation is pure-function-of-(seed, chunk) → embarrassingly
+        # parallel; this is also how a 100 TB synthetic load would be built
+        @ray.remote(num_cpus=1)
+        def gen(c: int, m: int) -> None:
+            pq.write_table(make_chunk(c, m), os.path.join(tmp, f"chunk-{c:05d}.parquet"))
+
+        ray.get([gen.remote(c, m) for c, m in sizes])
+    else:
+        for c, m in sizes:
+            pq.write_table(make_chunk(c, m), os.path.join(tmp, f"chunk-{c:05d}.parquet"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if os.path.exists(out):
         import shutil

@@ -60,7 +60,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from anomaly_detection_ray.pipelines import history, relational, textops, vectors
+    from anomaly_detection_ray.pipelines import history, media, relational, textops, vectors
 
     q: dict[str, Callable[[str], Any]] = {
         # relational operator coverage (SQL-oracled)
@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_halves": history.events_drift_halves,
         "spot_anomalies": history.spot_anomalies,
         "huber_anomalies": history.huber_anomalies,
+        # multimodal binary columns (rows-only; decode pinned by unit tests)
+        "image_format_stats": media.image_format_stats,
+        "video_frame_summary": media.video_frame_summary,
         # freshness / completeness over synthetic ingest history
         "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),

@@ -131,6 +131,91 @@ def make_transcripts_chunk(seed: int, chunk: int, n: int) -> pa.Table:
     )
 
 
+#: planted rates for the multimodal tables (same spirit as FIXTURES.md F1)
+IMG_CORRUPT_RATE = 0.002
+IMG_STUB_RATE = 0.002      # jpeg-magic payloads → stubbed-decoder rows
+IMG_MISMATCH_RATE = 0.002  # metadata lies about dims / frame count
+
+
+def make_images_chunk(seed: int, chunk: int, n: int) -> pa.Table:
+    """Deterministic images table: PPM/PGM payloads (real decode) with
+    planted corrupt payloads, jpeg-magic stub rows, and dim mismatches."""
+    from anomaly_detection_ray.functions.media import encode_ppm
+
+    rng = np.random.default_rng((seed, chunk, 7))
+    start = chunk * n
+    ids = np.array([f"img-{start + i:012d}" for i in range(n)], dtype=object)
+    ws = rng.integers(8, 48, size=n).astype(np.int32)
+    hs = rng.integers(8, 48, size=n).astype(np.int32)
+    gray = rng.random(n) < 0.3
+    corrupt = rng.random(n) < IMG_CORRUPT_RATE
+    stub = rng.random(n) < IMG_STUB_RATE
+    mism = rng.random(n) < IMG_MISMATCH_RATE
+
+    payloads = np.empty(n, dtype=object)
+    fmts = np.empty(n, dtype=object)
+    chans = np.where(gray, 1, 3).astype(np.int32)
+    for i in range(n):
+        shape = (hs[i], ws[i]) if gray[i] else (hs[i], ws[i], 3)
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        raw = encode_ppm(arr)
+        if stub[i]:
+            raw = b"\xff\xd8\xff\xe0" + raw[4:]  # jpeg magic → stub path
+        elif corrupt[i]:
+            raw = raw[: max(len(raw) // 3, 4)]
+        payloads[i] = raw
+        fmts[i] = "pgm" if gray[i] else "ppm"
+        if mism[i]:
+            ws[i] += 1
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads.tolist(), pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "channels": pa.array(chans, pa.int32()),
+            "format": pa.array(fmts, pa.string()),
+        }
+    )
+
+
+def make_videos_chunk(seed: int, chunk: int, n: int) -> pa.Table:
+    """Deterministic videos table: RVID payloads (frame-sample plumbing is
+    real; mp4 would be a stub) with planted truncations and frame-count
+    mismatches."""
+    from anomaly_detection_ray.functions.media import encode_video
+
+    rng = np.random.default_rng((seed, chunk, 8))
+    start = chunk * n
+    ids = np.array([f"vid-{start + i:012d}" for i in range(n)], dtype=object)
+    nf = rng.integers(4, 32, size=n).astype(np.int32)
+    hs = rng.integers(8, 24, size=n).astype(np.int32)
+    ws = rng.integers(8, 24, size=n).astype(np.int32)
+    corrupt = rng.random(n) < IMG_CORRUPT_RATE
+    mism = rng.random(n) < IMG_MISMATCH_RATE
+
+    payloads = np.empty(n, dtype=object)
+    for i in range(n):
+        base = rng.integers(0, 256, size=(hs[i], ws[i]), dtype=np.uint8)
+        driftv = rng.integers(0, 9, size=nf[i], dtype=np.uint8)
+        frames = (base[None, :, :].astype(np.uint16) + driftv[:, None, None]) % 256
+        raw = encode_video(frames.astype(np.uint8))
+        if corrupt[i]:
+            raw = raw[: max(len(raw) // 2, 6)]
+        payloads[i] = raw
+        if mism[i]:
+            nf[i] += 2
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads.tolist(), pa.binary()),
+            "num_frames": pa.array(nf, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+        }
+    )
+
+
 def make_ingest_history(seed: int, num_partitions: int, eval_ts: float) -> pa.Table:
     """Per-partition commit history (FIXTURES.md F4): seeded cadences —
     hourly, daily, weekly-seasonal, static (>30d old), one late-gap series
@@ -206,6 +291,16 @@ def clips_path(n_rows: int, seed: int = 42, drift: bool = False) -> str:
 def transcripts_path(n_rows: int, seed: int = 42) -> str:
     out = os.path.join(_CACHE_ROOT, f"transcripts-s{seed}-n{n_rows}")
     return _materialize(out, n_rows, lambda c, m: make_transcripts_chunk(seed, c, m))
+
+
+def images_path(n_rows: int, seed: int = 42) -> str:
+    out = os.path.join(_CACHE_ROOT, f"images-s{seed}-n{n_rows}")
+    return _materialize(out, n_rows, lambda c, m: make_images_chunk(seed, c, m))
+
+
+def videos_path(n_rows: int, seed: int = 42) -> str:
+    out = os.path.join(_CACHE_ROOT, f"videos-s{seed}-n{n_rows}")
+    return _materialize(out, n_rows, lambda c, m: make_videos_chunk(seed, c, m))
 
 
 def _materialize(out: str, n_rows: int, make_chunk) -> str:

@@ -1,25 +1,29 @@
 """The flagship constraint-validation suite over the clips table.
 
-Pipeline shape (all stages stream; the wide ``bytes`` column never crosses
-a shuffle — it dies inside the decode actor stage):
+Single-pass fused pipeline (row-level data NEVER materializes or
+shuffles; the wide ``bytes`` column dies inside the decode map):
 
-    read_parquet(clips, pruned columns)
-      → map_batches: derive partition_id = hash(clip_id) % P   (lineage key)
-      → [resume] drop finished partitions at the read
-      → map_batches(DecodeStats, actor pool, small batches)    (bytes → facts)
-      → fork via materialized narrow facts (or checkpoint parquet):
-           · per-(partition, column) partial sketches → tiny groupby merge
-           · violation-row filters (decode errors, dur/sr/codec mismatches,
-             null transcripts)
-      + uniqueness on clip_id        (groupby count>1 — A6 pattern)
-      + referential clips↔transcripts (bloom pre-pass + exact anti-join)
-      + drift vs baseline snapshot    (KS / chi-square over sketches)
+    read_parquet(clips)                                     ─┐ ONE streaming
+      → map_batches: partition_id = hash(clip_id) % P        │ execution
+      → [resume] drop finished partitions at the read        │
+      → map_batches(decode+QC features+SuitePartials fused)  │ emits ONLY
+    read_parquet(transcripts) → key-count partials  ── union ─┘ partial rows
+      → materialize tiny partials  (O(bundles × partitions × columns))
+      → ONE groupby((kind, partition, column, bucket)) dispatcher merge:
+           · stats+sketch partials  → per-(partition, column) stats (A7)
+           · key-count dict blobs   → dup keys + orphans both directions
+                                      (uniqueness A6 + referential J4 in
+                                      one exchange instead of three)
+           · violation-row blobs    → violation table
+      → driver: verdict rules (null-rate F13/F14, decode, drift KS/χ²)
       → verdict rows (logging-table analogue) + violation rows, sorted by
         the reference's status-first ordering (O1/O2,
         freshness_utils.py:85-118, common_utils.py:35-91)
 
 Per-partition failures become error-coded Unknown verdicts, never job
-failures (reference error funnel, errors.py:33-42).
+failures (reference error funnel, errors.py:33-42).  See
+stages/fused.py for the partial/combiner design and the measured Ray
+costs that motivated it.
 """
 
 from __future__ import annotations
@@ -44,11 +48,14 @@ from anomaly_detection_ray.functions.verdicts import (
 )
 from anomaly_detection_ray.schema import CLIPS_SCHEMA, VERDICT_SCHEMA, VIOLATION_SCHEMA
 from anomaly_detection_ray.sources.readers import read_table
-from anomaly_detection_ray.stages.decode import decode_stage
-from anomaly_detection_ray.stages.dedup import duplicate_key_counts
+from anomaly_detection_ray.config import DUR_MS_TOLERANCE
+from anomaly_detection_ray.stages.decode import DecodeStats
 from anomaly_detection_ray.stages.drift import drift_verdicts
-from anomaly_detection_ray.stages.join import referential_orphans
-from anomaly_detection_ray.stages.stats import column_stats
+from anomaly_detection_ray.stages.fused import (
+    SuitePartials,
+    collect_suite_partials,
+    side_key_partials,
+)
 from anomaly_detection_ray.state.checkpoint import RunCheckpoint, lineage_id, pending_partition_filter
 
 PARTITION_COL = "partition_id"
@@ -109,23 +116,57 @@ def validate_clips(
         ds = ds.map_batches(pending_partition_filter(checkpoint.completed),
                             batch_format="pyarrow")
 
-    # ---- decode actor pool: bytes → narrow facts, materialized once ------
-    decoded = decode_stage(
-        ds,
-        batch_size=cfg.decode_batch_size,
-        concurrency=cfg.decode_concurrency,
-    ).materialize()
-    # (at 10^12 rows: write facts to checkpoint parquet instead of
-    # materialize() and re-read — same fork, spill-backed; see checkpoint.py)
+    # ---- single-pass fused suite -----------------------------------------
+    # decode actors → SuitePartials in the SAME streaming execution: row
+    # data never materializes; only mergeable partial rows (stats sketches,
+    # hash-bucketed key counts, violation blobs) leave the pass.  The
+    # transcripts side unions its key partials into the same stream, so
+    # uniqueness + both referential directions + stats + violations cost
+    # ONE execution and one tiny low-cardinality shuffle (stages/fused.py).
+    need_unique = "uniqueness" in cfg.checks
+    need_ref = "referential" in cfg.checks and transcripts_path is not None
+    with_keys = need_unique or need_ref
 
-    # ---- per-(partition, column) stats + sketches ------------------------
-    stats_df = column_stats(
-        decoded,
-        _ALL_STAT_COLS,
-        partition_col=PARTITION_COL,
-        with_sketches=True,
-        batch_size=cfg.stats_batch_size,
-    ).to_pandas()
+    # resumed runs must count keys against the FULL clips table, not just
+    # pending partitions — a transcript matching a completed partition's
+    # clip is not an orphan.  Emit clip-key partials from a separate
+    # full-table read in that (rare) case.
+    fused_with_keys = with_keys and checkpoint is None
+    suite_partials = SuitePartials(
+        _ALL_STAT_COLS, PARTITION_COL, key_col="clip_id",
+        num_buckets=cfg.num_partitions,
+        with_keys=fused_with_keys, checks=cfg.checks)
+
+    # decode + partials as ONE map operator at the decode batch size:
+    # chaining them as separate map_batches with a larger partial batch
+    # forces Ray's cross-block bundler to gather blocks from many upstream
+    # tasks, which measured 3-4× slower than the whole decode itself.
+    # Partial-row volume stays modest because decode batches are sized in
+    # the thousands (rows/batch × partitions × columns).
+    _decode_fn = DecodeStats(dur_tolerance_ms=DUR_MS_TOLERANCE)
+
+    def decode_and_partials(batch: pa.Table) -> pa.Table:
+        return suite_partials(_decode_fn(batch))
+
+    partials = ds.map_batches(
+        decode_and_partials,
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    if with_keys and not fused_with_keys:
+        partials = partials.union(
+            read_table(clips_path, columns=["clip_id"]).map_batches(
+                side_key_partials("clip_id", 0, cfg.num_partitions),
+                batch_format="pyarrow", batch_size=cfg.stats_batch_size))
+    if need_ref:
+        partials = partials.union(
+            read_table(transcripts_path, columns=["clip_id"]).map_batches(
+                side_key_partials("clip_id", 1, cfg.num_partitions),
+                batch_format="pyarrow", batch_size=cfg.stats_batch_size))
+    partials = partials.materialize()  # tiny: O(bundles × partitions × cols)
+
+    stats_df, suspect_keys, row_violations = collect_suite_partials(
+        partials, with_keys=with_keys, with_ref=need_ref)
 
     if stats_df.empty:
         # fully-resumed run: every partition already checkpointed
@@ -158,45 +199,37 @@ def validate_clips(
                                "row_count": str(int(r["count"])),
                                "null_rate": str(round(rate, 6)),
                                "threshold": str(cfg.null_rate_threshold)}}))
-        import pyarrow.compute as pc
-
-        nulls = decoded.map_batches(
-            lambda b: b.filter(pc.is_null(b["transcript"])),
-            batch_format="pyarrow",
-        ).select_columns(["clip_id", PARTITION_COL]).to_pandas()
+        nulls = row_violations[row_violations["check"] == "null_rate"]
         if len(nulls):
-            violation_frames.append(nulls.assign(check="null_rate",
-                                                 detail="transcript is null"))
+            violation_frames.append(nulls)
 
     # ---- column-stats (informational) ------------------------------------
     if "column_stats" in cfg.checks:
+        # 12 significant digits: below that is float-summation noise from
+        # streaming bundle boundaries, which must not perturb the
+        # (observable, golden-tested) stringified debug payload
+        def _fmt(x) -> str:
+            if x is None or (isinstance(x, float) and np.isnan(x)):
+                return str(x)
+            return f"{x:.12g}" if isinstance(x, float) else str(x)
+
         for pid, g in stats_df.groupby(PARTITION_COL):
             dbg = {}
             for _, r in g.iterrows():
                 dbg[str(r["column"])] = {
                     "count": str(int(r["count"])),
                     "nulls": str(int(r["nulls"])),
-                    "min": str(r["min"]),
-                    "max": str(r["max"]),
-                    "mean": str(r["mean"]),
-                    "stddev": str(r["stddev"]),
-                    "distinct_est": str(r["distinct_est"]),
+                    "min": _fmt(r["min"]),
+                    "max": _fmt(r["max"]),
+                    "mean": _fmt(r["mean"]),
+                    "stddev": _fmt(r["stddev"]),
+                    "distinct_est": _fmt(r["distinct_est"]),
                 }
             verdict_rows.append(_verdict(pid, "column_stats", HEALTHY, dbg))
 
     # ---- audio decode / consistency --------------------------------------
     if "audio_decode" in cfg.checks:
-        import pyarrow.compute as pc
-
-        def _bad_rows(b: pa.Table) -> pa.Table:
-            ok = pc.and_(pc.and_(b["decode_ok"], b["sr_match"]),
-                         pc.and_(b["codec_match"], b["dur_match"]))
-            return b.filter(pc.invert(ok))
-
-        bad = decoded.map_batches(_bad_rows, batch_format="pyarrow").select_columns(
-            ["clip_id", PARTITION_COL, "decode_ok", "decode_error",
-             "sr_match", "codec_match", "dur_match", "decoded_ms", "dur_ms"]
-        ).to_pandas()
+        bad = row_violations[row_violations["check"] == "audio_decode"]
         per_part_bad = bad.groupby(PARTITION_COL).size() if len(bad) else pd.Series(dtype=int)
         counts = stats_df[stats_df["column"] == "clip_id"].set_index(PARTITION_COL)["count"]
         for pid in partitions:
@@ -207,64 +240,53 @@ def validate_clips(
                 {"audio_decode": {"violations": str(nbad),
                                   "row_count": str(int(counts.get(pid, 0)))}}))
         if len(bad):
-            def _detail(r):
-                if not r["decode_ok"]:
-                    return f"decode failed: {r['decode_error']}"
-                parts = []
-                if not r["sr_match"]:
-                    parts.append("sr_hz mismatch")
-                if not r["codec_match"]:
-                    parts.append("codec mismatch")
-                if not r["dur_match"]:
-                    parts.append(f"dur_ms {r['dur_ms']} vs decoded {r['decoded_ms']}")
-                return "; ".join(parts)
+            violation_frames.append(bad)
 
-            violation_frames.append(
-                bad.assign(check="audio_decode", detail=bad.apply(_detail, axis=1))[
-                    ["clip_id", PARTITION_COL, "check", "detail"]])
+    # ---- uniqueness + referential, from the fused key partials -----------
+    # (suspect_keys already holds ONLY dup/orphan keys — the single
+    # bucketed shuffle in stages/fused.py replaced a dup-count groupby plus
+    # two anti-joins; SURVEY.md §7.5 "pick ONE partitioning key")
+    if need_unique or need_ref:
+        bad_keys = suspect_keys.rename(columns={"key": "clip_id"})
+        bad_keys[PARTITION_COL] = (
+            partition_of_ids(bad_keys["clip_id"].to_numpy(), cfg.num_partitions)
+            if len(bad_keys) else np.array([], dtype=object))
 
-    # ---- uniqueness on clip_id -------------------------------------------
-    if "uniqueness" in cfg.checks:
-        dups = duplicate_key_counts(
-            decoded.select_columns(["clip_id"]), "clip_id").to_pandas()
-        dup_parts: dict[str, int] = {}
-        if len(dups):
-            dups[PARTITION_COL] = partition_of_ids(dups["clip_id"].to_numpy(), cfg.num_partitions)
-            dup_parts = dups.groupby(PARTITION_COL).size().to_dict()
-            violation_frames.append(
-                dups.assign(check="uniqueness",
-                            detail="clip_id count=" + dups["cnt"].astype(str))[
-                    ["clip_id", PARTITION_COL, "check", "detail"]])
-        for pid in partitions:
-            n = int(dup_parts.get(pid, 0))
-            verdict_rows.append(_verdict(
-                pid, "uniqueness", HEALTHY if n == 0 else UNHEALTHY,
-                {"uniqueness": {"duplicate_keys": str(n), "key": "clip_id"}}))
+        if need_unique:
+            dups = bad_keys[bad_keys["n_left"] > 1]
+            dup_parts = dups.groupby(PARTITION_COL).size().to_dict() if len(dups) else {}
+            if len(dups):
+                violation_frames.append(
+                    dups.assign(check="uniqueness",
+                                detail="clip_id count=" + dups["n_left"].astype(str))[
+                        ["clip_id", PARTITION_COL, "check", "detail"]])
+            for pid in partitions:
+                n = int(dup_parts.get(pid, 0))
+                verdict_rows.append(_verdict(
+                    pid, "uniqueness", HEALTHY if n == 0 else UNHEALTHY,
+                    {"uniqueness": {"duplicate_keys": str(n), "key": "clip_id"}}))
 
-    # ---- referential integrity clips ↔ transcripts -----------------------
-    if "referential" in cfg.checks and transcripts_path is not None:
-        tds = read_table(transcripts_path)
-        clips_keys = read_table(clips_path, columns=["clip_id"])
-        missing = referential_orphans(clips_keys, tds.select_columns(["clip_id"]),
-                                      "clip_id").to_pandas()
-        orphan_tr = referential_orphans(tds.select_columns(["clip_id"]), clips_keys,
-                                        "clip_id").to_pandas()
-        ref_parts: dict[str, int] = {}
-        for df, detail in ((missing, "clip has no transcript row"),
-                           (orphan_tr, "transcript row has no clip")):
-            if len(df):
-                df = df.copy()
-                df[PARTITION_COL] = partition_of_ids(df["clip_id"].to_numpy(),
-                                                     cfg.num_partitions)
-                for p, c in df.groupby(PARTITION_COL).size().items():
-                    ref_parts[p] = ref_parts.get(p, 0) + int(c)
-                violation_frames.append(df.assign(check="referential", detail=detail)[
-                    ["clip_id", PARTITION_COL, "check", "detail"]])
-        for pid in partitions:
-            n = int(ref_parts.get(pid, 0))
-            verdict_rows.append(_verdict(
-                pid, "referential", HEALTHY if n == 0 else UNHEALTHY,
-                {"referential": {"orphans": str(n)}}))
+        if need_ref:
+            ref_parts: dict[str, int] = {}
+            # multiplicity matches the anti-join contract: one violation row
+            # per orphan ROW, not per key
+            miss = bad_keys[(bad_keys["n_left"] > 0) & (bad_keys["n_right"] == 0)]
+            orph = bad_keys[bad_keys["n_left"] == 0]
+            for df, reps, detail in (
+                (miss, miss["n_left"] if len(miss) else None, "clip has no transcript row"),
+                (orph, orph["n_right"] if len(orph) else None, "transcript row has no clip"),
+            ):
+                if len(df):
+                    rep = df.loc[df.index.repeat(reps.astype(int))]
+                    for p, c in rep.groupby(PARTITION_COL).size().items():
+                        ref_parts[p] = ref_parts.get(p, 0) + int(c)
+                    violation_frames.append(rep.assign(check="referential", detail=detail)[
+                        ["clip_id", PARTITION_COL, "check", "detail"]])
+            for pid in partitions:
+                n = int(ref_parts.get(pid, 0))
+                verdict_rows.append(_verdict(
+                    pid, "referential", HEALTHY if n == 0 else UNHEALTHY,
+                    {"referential": {"orphans": str(n)}}))
 
     # ---- drift vs baseline snapshot --------------------------------------
     if "drift" in cfg.checks and baseline_stats is not None:

@@ -1,0 +1,306 @@
+"""Single-pass fused suite partials: the whole validation suite as ONE
+streaming execution plus one tiny shuffle.
+
+Instead of materializing the decoded facts and running each check as its
+own Dataset execution (stats, null scan, decode scan, dup groupby, two
+anti-joins — each paying operator startup and, for the keyed ones, a
+row-level sort at ~30µs/row), the decode actor output flows straight into
+this stage, which folds EVERYTHING the suite needs into mergeable partial
+rows of one narrow schema:
+
+    kind:string · partition_id:string · column:string · bucket:int64 · payload:binary
+
+- ``kind="stats"``  — one row per (partition, column) per bundle: pickled
+  partial-stat dict (count/nulls/min/max/sum/sumsq + HLL/t-digest/freq
+  sketch bytes; stats.py machinery).
+- ``kind="keys"``   — one row per hash bucket per bundle: pickled
+  ``(side, {key: count})`` dict (uniqueness + both referential directions
+  derive from merged left/right counts — one exchange instead of three).
+- ``kind="viol"``   — one row per bundle that saw violations: pickled
+  list of (clip_id, partition_id, check, detail) tuples.
+
+The transcripts side is a second tiny map producing only ``kind="keys"``
+rows, UNIONed into the same stream.  Row-level data never shuffles and
+never materializes; the partials dataset is O(bundles × partitions ×
+columns), independent of row count — the property that keeps this plan
+identical at 10^12 rows (SURVEY.md §7.5, stats.py module docstring).
+
+Skew: key buckets are ``hash64(key) % B`` (uniform for id keys); stats
+partials are bounded per bundle regardless of how skewed ``codec`` /
+``sr_hz`` are, because the partial — not the row — is the shuffle unit.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from anomaly_detection_ray.functions.hashing import bucket_of
+from anomaly_detection_ray.stages.stats import _partial_for_column
+from anomaly_detection_ray.state.sketches import Sketch
+
+KIND_STATS = "stats"
+KIND_KEYS = "keys"
+KIND_VIOL = "viol"
+
+_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("partition_id", pa.string()),
+    ("column", pa.string()),
+    ("bucket", pa.int64()),
+    ("payload", pa.binary()),
+])
+
+
+def _rows_table(rows: list[tuple]) -> pa.Table:
+    if not rows:
+        return _SCHEMA.empty_table()
+    kinds, pids, cols, buckets, payloads = zip(*rows)
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "partition_id": pa.array(pids, pa.string()),
+        "column": pa.array(cols, pa.string()),
+        "bucket": pa.array(buckets, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    }, schema=_SCHEMA)
+
+
+def _key_count_rows(col: pa.ChunkedArray | pa.Array, side: int,
+                    num_buckets: int) -> list[tuple]:
+    col = col.drop_null() if col.null_count else col
+    if len(col) == 0:
+        return []
+    vc = col.to_pandas().value_counts()
+    keys = vc.index.to_numpy(dtype=object)
+    counts = vc.to_numpy()
+    buckets = bucket_of(keys, num_buckets)
+    rows = []
+    for b in np.unique(buckets):
+        m = buckets == b
+        blob = pickle.dumps((side, dict(zip(keys[m], counts[m].tolist()))))
+        rows.append((KIND_KEYS, "", "", int(b), blob))
+    return rows
+
+
+class SuitePartials:
+    """map_batches fn chained after the decode actors (same execution).
+
+    ``batch_size`` at the call site should be LARGE (≥16k): partial-row
+    count is bundles × partitions × columns, so big bundles keep the merge
+    input tiny even though the decode stage upstream uses small batches.
+    """
+
+    def __init__(self, stat_columns: Sequence[str], partition_col: str,
+                 key_col: str = "clip_id", num_buckets: int = 32,
+                 with_keys: bool = True, checks: Sequence[str] = ()):
+        self.stat_columns = list(stat_columns)
+        self.partition_col = partition_col
+        self.key_col = key_col
+        self.num_buckets = num_buckets
+        self.with_keys = with_keys
+        self.want_null = "null_rate" in checks
+        self.want_audio = "audio_decode" in checks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        keys_col = batch[self.partition_col]
+        # ---- stats partials, per partition value in this bundle ----------
+        for k in pc.unique(keys_col).to_pylist():
+            sub = batch.filter(pc.equal(keys_col, k))
+            for name in self.stat_columns:
+                d = _partial_for_column(sub[name], name, with_sketches=True)
+                rows.append((KIND_STATS, str(k), name, 0,
+                             pickle.dumps({x: d[x] for x in
+                                           ("count", "nulls", "min", "max",
+                                            "sum", "sumsq", "hll", "tdigest",
+                                            "freq")})))
+        # ---- key-count partials ------------------------------------------
+        if self.with_keys:
+            rows.extend(_key_count_rows(batch[self.key_col], 0, self.num_buckets))
+        # ---- violation rows ----------------------------------------------
+        viols: list[tuple] = []
+        if self.want_null:
+            nulls = batch.filter(pc.is_null(batch["transcript"]))
+            for cid, pid in zip(nulls[self.key_col].to_pylist(),
+                                nulls[self.partition_col].to_pylist()):
+                viols.append((cid, pid, "null_rate", "transcript is null"))
+        if self.want_audio:
+            ok = pc.and_(pc.and_(batch["decode_ok"], batch["sr_match"]),
+                         pc.and_(batch["codec_match"], batch["dur_match"]))
+            bad = batch.filter(pc.invert(ok))
+            for r in bad.to_pylist():
+                if not r["decode_ok"]:
+                    detail = f"decode failed: {r['decode_error']}"
+                else:
+                    parts = []
+                    if not r["sr_match"]:
+                        parts.append("sr_hz mismatch")
+                    if not r["codec_match"]:
+                        parts.append("codec mismatch")
+                    if not r["dur_match"]:
+                        parts.append(
+                            f"dur_ms {r['dur_ms']} vs decoded {r['decoded_ms']}")
+                    detail = "; ".join(parts)
+                viols.append((r[self.key_col], r[self.partition_col],
+                              "audio_decode", detail))
+        if viols:
+            rows.append((KIND_VIOL, "", "", 0, pickle.dumps(viols)))
+        return _rows_table(rows)
+
+
+def side_key_partials(key_col: str, side: int, num_buckets: int):
+    """map_batches fn for an auxiliary keyed table (e.g. transcripts):
+    emits only kind="keys" partial rows into the shared schema."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return _rows_table(_key_count_rows(batch[key_col], side, num_buckets))
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# merges over the (materialized, tiny) partials dataset
+# ---------------------------------------------------------------------------
+
+
+def _merge_stats_group(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame([_merge_stats_dict(g)])
+
+
+def _merge_stats_dict(g: pd.DataFrame) -> dict:
+    parts = [pickle.loads(b) for b in g["payload"]]
+    count = int(sum(p["count"] for p in parts))
+    nulls = int(sum(p["nulls"] for p in parts))
+    valid = count - nulls
+    # math.fsum: exactly-rounded summation → the merged result is identical
+    # for EVERY merge order, so N- and 4N-CPU layouts (and re-runs) produce
+    # bit-identical stats (SURVEY.md §7.6 sketch-determinism requirement)
+    import math
+
+    nums = [p for p in parts if p["sum"] is not None]
+    s = math.fsum(p["sum"] for p in nums) if nums else None
+    ssq = math.fsum(p["sumsq"] for p in nums) if nums else None
+    mean = s / valid if (s is not None and valid) else None
+    stddev = None
+    if ssq is not None and valid and valid > 1:
+        var = max((ssq - valid * mean * mean) / (valid - 1), 0.0)
+        stddev = float(np.sqrt(var))
+
+    def merge_blobs(field):
+        acc = None
+        for p in parts:
+            if p[field] is None:
+                continue
+            sk = Sketch.from_bytes(p[field])
+            acc = sk if acc is None else acc.merge(sk)
+        return acc
+
+    hll, td, fr = merge_blobs("hll"), merge_blobs("tdigest"), merge_blobs("freq")
+    mins = [p["min"] for p in parts if p["min"] is not None]
+    maxs = [p["max"] for p in parts if p["max"] is not None]
+    return {
+        "partition_id": g["partition_id"].iloc[0],
+        "column": g["column"].iloc[0],
+        "count": count,
+        "nulls": nulls,
+        "null_rate": nulls / count if count else 0.0,
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "mean": mean,
+        "stddev": stddev,
+        "distinct_est": hll.estimate() if hll is not None else None,
+        "hll": hll.to_bytes() if hll is not None else None,
+        "tdigest": td.to_bytes() if td is not None else None,
+        "freq": fr.to_bytes() if fr is not None else None,
+    }
+
+
+def _merge_keys_group_fn(with_ref: bool):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import defaultdict
+
+        nl: dict = defaultdict(int)
+        nr: dict = defaultdict(int)
+        for blob in g["payload"]:
+            side, d = pickle.loads(blob)
+            tgt = nl if side == 0 else nr
+            for k, c in d.items():
+                tgt[k] += c
+        # emit ONLY suspicious keys: dups and (when a right side exists)
+        # orphans in either direction — the healthy key space (the
+        # overwhelming majority) dies here, in the reducer, without ever
+        # reaching the driver
+        rows = []
+        for k in nl.keys() | nr.keys():
+            a, b = nl.get(k, 0), nr.get(k, 0)
+            if a > 1 or (with_ref and (b == 0 or a == 0)):
+                rows.append((k, a, b))
+        if not rows:
+            return pd.DataFrame({"key": [], "n_left": [], "n_right": []})
+        ks, na, nb = zip(*rows)
+        return pd.DataFrame({"key": list(ks), "n_left": list(na), "n_right": list(nb)})
+
+    return merge
+
+
+def collect_suite_partials(
+    partials: ray.data.Dataset,
+    *,
+    with_keys: bool = True,
+    with_ref: bool = True,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """(stats_df, suspect_keys_df, violations_df) from a partials dataset.
+
+    ``partials`` should be materialized by the caller (it is tiny); each
+    merge below is then a sub-second execution over O(bundles) rows.
+    """
+    empty_keys = pd.DataFrame({"key": [], "n_left": [], "n_right": []})
+    empty_viol = pd.DataFrame(columns=["clip_id", "partition_id", "check", "detail"])
+    if partials.count() == 0:  # fully-resumed run: nothing flowed through
+        return pd.DataFrame(), empty_keys, empty_viol
+
+    # ONE execution for every merge: the group key (kind, partition_id,
+    # column, bucket) is disjoint across kinds, and a dispatcher merge
+    # reduces each group to a single pickled result row.  Three filtered
+    # sub-executions would pay operator startup three times for the same
+    # tiny dataset.
+    key_merge = _merge_keys_group_fn(with_ref)
+
+    def dispatch(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].iloc[0]
+        if kind == KIND_STATS:
+            blob = pickle.dumps(_merge_stats_dict(g))
+        elif kind == KIND_KEYS:
+            blob = pickle.dumps(key_merge(g))
+        else:  # KIND_VIOL: concatenate the per-bundle violation lists
+            out: list[tuple] = []
+            for b in g["payload"]:
+                out.extend(pickle.loads(b))
+            blob = pickle.dumps(out)
+        return pd.DataFrame([{"kind": kind, "result": blob}])
+
+    merged = (
+        partials.groupby(["kind", "partition_id", "column", "bucket"])
+        .map_groups(dispatch, batch_format="pandas")
+        .to_pandas()
+    )
+    stats_rows = [pickle.loads(b) for b in merged.loc[merged["kind"] == KIND_STATS, "result"]]
+    stats_df = pd.DataFrame(stats_rows)
+    if with_keys:
+        key_frames = [pickle.loads(b) for b in merged.loc[merged["kind"] == KIND_KEYS, "result"]]
+        key_frames = [f for f in key_frames if len(f)]
+        keys_df = pd.concat(key_frames, ignore_index=True) if key_frames else empty_keys
+    else:
+        keys_df = empty_keys
+    viols: list[tuple] = []
+    for b in merged.loc[merged["kind"] == KIND_VIOL, "result"]:
+        viols.extend(pickle.loads(b))
+    violations_df = pd.DataFrame(
+        viols, columns=["clip_id", "partition_id", "check", "detail"])
+    return stats_df, keys_df, violations_df

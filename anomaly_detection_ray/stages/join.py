@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -81,6 +82,85 @@ def build_bloom(ds: ray.data.Dataset, key: str, capacity: int,
             s = Sketch.from_bytes(blob)
             acc = s if acc is None else acc.merge(s)
     return acc if acc is not None else BloomFilter(capacity, fpp)
+
+
+def key_integrity(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    *,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Uniqueness + both referential directions in ONE key shuffle.
+
+    Tags each side with an indicator column, unions, and runs a single
+    ``groupby(key).aggregate(Sum)`` — the all-to-all exchange that a
+    dup-count groupby plus two anti-joins would otherwise pay three times
+    over (SURVEY.md §7.5: pick ONE partitioning key and reuse it).  Output:
+    one row per key with ``n_left`` / ``n_right`` occurrence counts; the
+    caller derives duplicates (n_left>1), left orphans (n_right==0) and
+    right orphans (n_left==0).  Null keys never enter the shuffle — filter
+    them upstream (they are definitionally orphans).
+
+    Implementation is the partial/combiner pattern (pre-aggregate inside
+    map_batches, THEN shuffle): each block folds its keys into per-bucket
+    count dicts shipped as pickled blobs, so the all-to-all moves
+    ``O(blocks × num_partitions)`` blob rows instead of every raw key —
+    Ray's sort-aggregate costs ~30µs/row, so shuffling raw keys is the
+    difference between milliseconds and seconds per million keys.  Bucket =
+    ``hash64(key) % P`` (uniform, skew-proof for id-like keys).
+
+    Partitioning assumption: the distinct keys of ONE bucket fit in one
+    worker's heap during the merge — choose ``num_partitions`` ≥
+    ``total_distinct_keys × entry_bytes / worker_heap``.
+    """
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import bucket_of
+
+    def partial(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            col = batch[key].drop_null()
+            if len(col) == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "blob": pa.array([], pa.binary())})
+            vc = col.to_pandas().value_counts()
+            keys = vc.index.to_numpy(dtype=object)
+            counts = vc.to_numpy()
+            buckets = bucket_of(keys, num_partitions)
+            out_b, out_blob = [], []
+            for b in np.unique(buckets):
+                m = buckets == b
+                out_b.append(int(b))
+                out_blob.append(pickle.dumps(
+                    (side, dict(zip(keys[m], counts[m].tolist())))))
+            return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                             "blob": pa.array(out_blob, pa.binary())})
+
+        return f
+
+    tagged = left.select_columns([key]).map_batches(
+        partial(0), batch_format="pyarrow"
+    ).union(right.select_columns([key]).map_batches(partial(1), batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import defaultdict
+
+        nl: dict = defaultdict(int)
+        nr: dict = defaultdict(int)
+        for blob in g["blob"]:
+            side, d = pickle.loads(blob)
+            tgt = nl if side == 0 else nr
+            for k, c in d.items():
+                tgt[k] += c
+        all_keys = list(nl.keys() | nr.keys())
+        return pd.DataFrame({
+            key: all_keys,
+            "n_left": [nl.get(k, 0) for k in all_keys],
+            "n_right": [nr.get(k, 0) for k in all_keys],
+        })
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def referential_orphans(

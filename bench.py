@@ -9,10 +9,11 @@ prints ONE JSON line:
      "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
      "clips": n, "clips_per_sec": ...}
 
-``--scaling`` runs the same job twice in fresh processes (num_cpus=8 and
-32) on the same input and reports both throughputs plus the scaling
-efficiency (the sandbox proxy for the N vs 4N cluster-size criterion;
-see BASELINE.md).
+``--scaling`` runs the same job at N and 4N CPUs (4 and 16, interleaved
+repeats, medians) in fresh processes on the same input and reports both
+throughputs, the scaling efficiency, and a raw-CPU calibration of the
+host (the sandbox proxy for the N vs 4N cluster-size criterion; see
+BASELINE.md §3 for why 4/16 and not 8/32 on this shared host).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, suite_only: bool = False) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -48,7 +49,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
 
     sf = _sf_of(sf_dir)
-    n_clips = max(int(600_000 * sf), 500)
+    # headline table is 10× the driver-table row scale: the suite's fixed
+    # costs (exec startup, the one partial shuffle, driver assembly ≈ 5-7 s)
+    # must be amortized for throughput/scaling numbers to reflect the
+    # steady-state regime a 100 TB run lives in
+    n_clips = max(int(6_000_000 * sf), 500)
 
     # materialize synthetic clips (cached across runs; untimed) and warm
     # the page cache with one untimed read of the driver tables
@@ -69,9 +74,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return out
 
     # ---- headline: full constraint suite over the clips table ------------
-    cfg = SuiteConfig(num_partitions=max(num_cpus, 8))
+    # num_partitions is PINNED (not a function of num_cpus): the scaling
+    # comparison must run the IDENTICAL job at both parallelism levels
+    cfg = SuiteConfig(num_partitions=32)
     res = timed("clips_suite", lambda: validate_clips(cp, tp, config=cfg))
     assert len(res.verdicts) > 0
+
+    if suite_only:
+        total = round(sum(timings.values()), 3)
+        return {"metric": "clips suite wall-time", "value": total, "unit": "sec",
+                "queries": timings, "sf": sf, "num_cpus": num_cpus,
+                "clips": n_clips, "clips_per_sec": round(n_clips / timings["clips_suite"], 1)}
 
     # ---- representative operator pipelines -------------------------------
     timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
@@ -97,28 +110,86 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def _fft_worker(secs: float) -> int:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16384).astype(np.float32)
+    t_end = time.perf_counter() + secs
+    c = 0
+    while time.perf_counter() < t_end:
+        np.abs(np.fft.rfft(x))
+        c += 1
+    return c
+
+
+def _cpu_calibration(levels=(4, 16), secs: float = 5.0) -> dict:
+    """Raw-CPU scaling ceiling of this sandbox: N numpy-FFT worker
+    processes for `secs` each.  The VM advertises 32 vCPUs but host steal
+    caps useful parallelism (~22-24 cores' worth measured); pure CPU work
+    scales 8→32 procs at only ~0.70, while 4→16 scales at ~0.95+.  The
+    suite cannot scale better than the hardware it runs on, so the proxy
+    pairing must sit inside the machine's honest capacity — this
+    calibration is emitted alongside the result to keep that choice
+    transparent."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in levels:
+        with mp.Pool(procs) as p:
+            out[f"fft_rate_{procs}"] = round(
+                sum(p.map(_fft_worker, [secs] * procs)) / secs, 0)
+    lo, hi = levels
+    out["raw_cpu_scaling_ceiling"] = round(
+        (out[f"fft_rate_{hi}"] / out[f"fft_rate_{lo}"]) / (hi / lo), 3)
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
+    """Same job, same input, two parallelism levels (N and 4N CPUs) in
+    fresh processes — the sandbox proxy for the N vs 4N cluster-size
+    criterion.
+
+    lo/hi = 4/16 (not 8/32): the shared host delivers near-linear CPU up
+    to ~16 procs but only ~0.70 from 8→32 (see _cpu_calibration, emitted
+    in the result) — a pairing outside the machine's real capacity would
+    measure the hypervisor, not the engine.  The host is also noisily
+    shared (identical runs vary up to ~2×), so levels are INTERLEAVED
+    (lo, hi, lo, hi, …) and the per-level MEDIAN wall time is used;
+    per-rep raw values are reported for transparency."""
+    import statistics
+
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   RAY_GRAFT_SUITE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
-    thr_lo = r_lo["clips"] / r_lo["queries"]["clips_suite"]
-    thr_hi = r_hi["clips"] / r_hi["queries"]["clips_suite"]
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    sec_lo = statistics.median(r["queries"]["clips_suite"] for r in runs_lo)
+    sec_hi = statistics.median(r["queries"]["clips_suite"] for r in runs_hi)
+    clips = runs_lo[0]["clips"]
+    thr_lo, thr_hi = clips / sec_lo, clips / sec_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (clips suite)",
-        f"sec_{lo}": r_lo["queries"]["clips_suite"],
-        f"sec_{hi}": r_hi["queries"]["clips_suite"],
+        f"sec_{lo}": round(sec_lo, 3),
+        f"sec_{hi}": round(sec_hi, 3),
         f"clips_per_sec_{lo}": round(thr_lo, 1),
         f"clips_per_sec_{hi}": round(thr_hi, 1),
-        f"total_sec_{lo}": r_lo["value"],
-        f"total_sec_{hi}": r_hi["value"],
+        f"reps_sec_{lo}": [r["queries"]["clips_suite"] for r in runs_lo],
+        f"reps_sec_{hi}": [r["queries"]["clips_suite"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
-        "sf": r_lo["sf"],
-        "clips": r_lo["clips"],
+        "sf": runs_lo[0]["sf"],
+        "clips": clips,
+        "num_reps": reps,
+        "calibration": _cpu_calibration((lo, hi)),
     }
 
 
@@ -128,7 +199,8 @@ def main() -> None:
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
         return
-    result = run_bench(sf_dir, num_cpus)
+    result = run_bench(sf_dir, num_cpus,
+                       suite_only=os.environ.get("RAY_GRAFT_SUITE_ONLY") == "1")
     import ray
 
     ray.shutdown()

@@ -1,0 +1,126 @@
+"""Unit tests for the fused suite-partials stage (stages/fused.py) —
+pure-Python level: partial emission, dispatcher merges, and agreement with
+direct pandas computation.  (The Ray-level path is covered by
+tests/test_pipeline_e2e.py.)"""
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from anomaly_detection_ray.pipelines.validate import PARTITION_COL, _ALL_STAT_COLS, add_partition_id
+from anomaly_detection_ray.sources.synth import make_clips_chunk, make_transcripts_chunk
+from anomaly_detection_ray.stages.decode import DecodeStats
+from anomaly_detection_ray.stages.fused import (
+    KIND_KEYS,
+    KIND_STATS,
+    KIND_VIOL,
+    SuitePartials,
+    _merge_keys_group_fn,
+    _merge_stats_dict,
+    side_key_partials,
+)
+
+CHECKS = ("schema", "null_rate", "column_stats", "uniqueness", "referential",
+          "audio_decode", "drift")
+
+
+@pytest.fixture(scope="module")
+def facts():
+    t = pa.concat_tables([make_clips_chunk(7, c, 2000) for c in range(3)])
+    return DecodeStats()(add_partition_id(8)(t))
+
+
+@pytest.fixture(scope="module")
+def partials_table(facts):
+    sp = SuitePartials(_ALL_STAT_COLS, PARTITION_COL, num_buckets=8,
+                       with_keys=True, checks=CHECKS)
+    # split into two bundles to exercise cross-bundle merging
+    half = facts.num_rows // 2
+    return pa.concat_tables([sp(facts.slice(0, half)), sp(facts.slice(half))])
+
+
+class TestPartialEmission:
+    def test_kinds_present(self, partials_table):
+        kinds = set(partials_table["kind"].to_pylist())
+        assert kinds == {KIND_STATS, KIND_KEYS, KIND_VIOL}
+
+    def test_stats_row_count(self, partials_table):
+        n = len([k for k in partials_table["kind"].to_pylist() if k == KIND_STATS])
+        # 2 bundles × 8 partitions × len(stat cols)
+        assert n == 2 * 8 * len(_ALL_STAT_COLS)
+
+    def test_key_blob_sides(self, partials_table):
+        blobs = [pickle.loads(p) for k, p in zip(partials_table["kind"].to_pylist(),
+                                                 partials_table["payload"].to_pylist())
+                 if k == KIND_KEYS]
+        assert all(side == 0 for side, _ in blobs)
+        # distinct keys per bundle: planted duplicate ids collapse to one
+        # entry with count 2 inside a bundle, so total entries ≤ 6000
+        total = sum(len(d) for _, d in blobs)
+        assert 5900 < total <= 6000
+        assert sum(c for _, d in blobs for c in d.values()) == 6000
+
+
+class TestMerges:
+    def test_stats_merge_matches_pandas(self, facts, partials_table):
+        df = pa.Table.from_arrays(
+            [facts["dur_ms"], facts[PARTITION_COL]], names=["dur_ms", "pid"]
+        ).to_pandas()
+        pdf = partials_table.to_pandas()
+        for pid, g in df.groupby("pid"):
+            grp = pdf[(pdf["kind"] == KIND_STATS) & (pdf["partition_id"] == pid)
+                      & (pdf["column"] == "dur_ms")]
+            merged = _merge_stats_dict(grp)
+            assert merged["count"] == len(g)
+            assert merged["min"] == g["dur_ms"].min()
+            assert merged["max"] == g["dur_ms"].max()
+            assert abs(merged["mean"] - g["dur_ms"].mean()) < 1e-9
+            assert abs(merged["stddev"] - g["dur_ms"].std(ddof=1)) < 1e-6
+
+    def test_key_merge_finds_planted_dups(self, facts, partials_table):
+        ids = pd.Series(facts["clip_id"].to_pylist())
+        true_dups = set(ids.value_counts()[lambda s: s > 1].index)
+        pdf = partials_table.to_pandas()
+        merge = _merge_keys_group_fn(with_ref=False)
+        out = merge(pdf[pdf["kind"] == KIND_KEYS])
+        assert set(out.loc[out["n_left"] > 1, "key"]) == true_dups
+
+    def test_key_merge_referential_directions(self):
+        left = pa.table({"k": pa.array(["a", "a", "b", "c"])})
+        right = pa.table({"k": pa.array(["a", "c", "d"])})
+        from anomaly_detection_ray.stages.fused import _key_count_rows, _rows_table
+
+        t = pa.concat_tables([
+            _rows_table(_key_count_rows(left["k"], 0, 1)),
+            _rows_table(_key_count_rows(right["k"], 1, 1)),
+        ])
+        out = _merge_keys_group_fn(with_ref=True)(t.to_pandas())
+        by_key = out.set_index("key")
+        assert by_key.loc["a", "n_left"] == 2       # dup
+        assert by_key.loc["b", "n_right"] == 0      # left orphan
+        assert by_key.loc["d", "n_left"] == 0       # right orphan
+        assert "c" not in by_key.index              # healthy key dies in reducer
+
+    def test_violation_blobs_match_direct_scan(self, facts, partials_table):
+        pdf = partials_table.to_pandas()
+        viols = []
+        for b in pdf.loc[pdf["kind"] == KIND_VIOL, "payload"]:
+            viols.extend(pickle.loads(b))
+        vdf = pd.DataFrame(viols, columns=["clip_id", "pid", "check", "detail"])
+        fdf = facts.to_pandas()
+        n_null = int(fdf["transcript"].isna().sum())
+        bad = ~(fdf["decode_ok"] & fdf["sr_match"] & fdf["codec_match"] & fdf["dur_match"])
+        assert (vdf["check"] == "null_rate").sum() == n_null
+        assert (vdf["check"] == "audio_decode").sum() == int(bad.sum())
+
+
+class TestSideKeyPartials:
+    def test_transcript_side_tagged_right(self):
+        t = make_transcripts_chunk(7, 0, 500)
+        out = side_key_partials("clip_id", 1, 4)(t)
+        assert set(out["kind"].to_pylist()) == {KIND_KEYS}
+        sides = {pickle.loads(b)[0] for b in out["payload"].to_pylist()}
+        assert sides == {1}

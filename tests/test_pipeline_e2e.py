@@ -192,3 +192,26 @@ class TestVectorAccuracy:
             spread = duckdb.sql(
                 f"SELECT max(value)-min(value) FROM '{sf}/events.parquet'").fetchone()[0]
             assert abs(r["value_quantile"] - exact) < 0.02 * spread
+
+
+class TestJobCli:
+    def test_job_run_writes_metrics_and_resumes(self, tmp_path, capsys):
+        from anomaly_detection_ray.job import main
+        from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+        import json, os
+
+        out = str(tmp_path / "run")
+        argv = ["--clips", clips_path(3000), "--transcripts", transcripts_path(3000),
+                "--out", out, "--eval-ts", "1754000000"]
+        main(argv)
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["rows_validated"] == 3000
+        assert metrics["partitions_skipped_resume"] == 0
+        assert os.path.exists(os.path.join(out, "metrics.json"))
+        assert metrics["verdict_status_counts"]
+
+        # rerun with the same --out: everything checkpointed → full skip
+        main(argv)
+        m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m2["partitions_skipped_resume"] > 0
+        assert m2["rows_validated"] == 0

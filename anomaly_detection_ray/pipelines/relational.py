@@ -41,10 +41,21 @@ def grouped_sums(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     count_alias: str = "__cnt__",
-    batch_size: int = 65536,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """Grouped sums + count with per-block partial aggregation: the shuffle
-    moves one row per (block, key), not one per input row."""
+    """Grouped sums + count via the blob-combiner pattern: each block
+    pre-aggregates with pandas, splits its partial frame into
+    ``hash(key) % num_buckets`` pickled shards, and the shuffle moves
+    O(blocks × buckets) blob rows — never one row per (block, key).
+    Ray's sort-aggregate costs ~30µs per shuffled ROW (stages/fused.py),
+    so for high-cardinality keys (e.g. (event_type, hour) windows) this is
+    the difference between sub-second and tens of seconds.  Bucketing by
+    key hash keeps hot keys (skew) spread only across blocks, never
+    reducers, and each reducer merges with one C-level pandas groupby."""
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import combine_columns, hash64
+
     keys = list(keys)
     sum_cols = list(sum_cols)
 
@@ -52,13 +63,24 @@ def grouped_sums(
         g = df.groupby(keys, dropna=False, observed=True)
         out = g[sum_cols].sum() if sum_cols else pd.DataFrame(index=g.size().index)
         out[count_alias] = g.size()
+        out = out.reset_index()
+        kh = (combine_columns(*[out[k] for k in keys]) if len(keys) > 1
+              else hash64(out[keys[0]]))
+        buckets = (kh % np.uint64(num_buckets)).astype(np.int64)
+        rows = [(int(b), pickle.dumps(out[buckets == b]))
+                for b in np.unique(buckets)]
+        return pd.DataFrame(rows, columns=["bucket", "blob"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [pickle.loads(b) for b in g["blob"]]
+        cat = pd.concat(frames, ignore_index=True)
+        gg = cat.groupby(keys, dropna=False, observed=True)
+        out = gg[sum_cols].sum() if sum_cols else pd.DataFrame(index=gg.size().index)
+        out[count_alias] = gg[count_alias].sum()
         return out.reset_index()
 
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Sum(count_alias, alias_name=count_alias)]
-    return partials.groupby(keys).aggregate(*aggs)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    return partials.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def latest_per_key(
@@ -227,17 +249,38 @@ def column_stats_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_counts(sf_dir: str) -> pd.DataFrame:
-    """Exact distributed COUNT(DISTINCT …): per-block unique partials →
-    groupby key → count groups (no driver-side value list)."""
+    """Exact distributed COUNT(DISTINCT …): per-block unique values are
+    hash-bucketed and shipped as packed array blobs; each reducer counts
+    the union of its (disjoint) value-space slice and the per-bucket
+    counts sum to the exact answer.  Individual values never become
+    shuffle ROWS (30µs/row in Ray's sort-aggregate — stages/fused.py)."""
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import hash64
+
+    num_buckets = 32
     res = {}
     for col in ("l_partkey", "l_suppkey", "l_orderkey"):
         ds = sf_table(sf_dir, "lineitem", columns=[col])
 
-        def uniq(t: pa.Table, c=col) -> pa.Table:
-            return pa.table({c: pc.unique(t[c])})
+        def partial(t: pa.Table, c=col) -> pa.Table:
+            u = pc.unique(t[c]).to_numpy(zero_copy_only=False)
+            b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
+            out_b, out_blob = [], []
+            for bb in np.unique(b):
+                out_b.append(int(bb))
+                out_blob.append(pickle.dumps(u[b == bb]))
+            return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                             "blob": pa.array(out_blob, pa.binary())})
 
-        distinct = ds.map_batches(uniq, batch_format="pyarrow").groupby(col).count()
-        res[f"distinct_{col}"] = int(distinct.count())
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            vals = np.concatenate([pickle.loads(x) for x in g["blob"]])
+            return pd.DataFrame({"n": [len(np.unique(vals))]})
+
+        per_bucket = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+                      .groupby("bucket").map_groups(merge, batch_format="pandas")
+                      .to_pandas())
+        res[f"distinct_{col}"] = int(per_bucket["n"].sum())
     return pd.DataFrame([res])
 
 

@@ -96,34 +96,34 @@ class MinHashBands:
     def signature(self, text: str) -> np.ndarray:
         return self.hasher.signature(char_shingle_hashes(text, self.shingle_k))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def band_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, (n, bands) int64 band-hash matrix) — band folding is
+        vectorized across the whole batch (one multiply-add chain per
+        band row), not a per-(doc, band) hash call."""
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        band_ids, band_hashes, doc_ids = [], [], []
-        for i, t in enumerate(texts):
-            sig = self.signature(t or "")
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = int(hash64(np.array([chunk.tobytes()], dtype=object))[0]) & 0x7FFFFFFFFFFFFFFF
-                band_ids.append(b)
-                band_hashes.append(bh)
-                doc_ids.append(ids[i])
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=object)
+        n = len(texts)
+        if n == 0:
+            return ids, np.empty((0, self.bands), dtype=np.int64)
+        sigs = np.stack([self.signature(t or "") for t in texts])  # (n, perm)
+        S = sigs.reshape(n, self.bands, self.rows_per_band)
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):
+                acc = acc * gold + S[:, :, r]
+        return ids, (acc >> np.uint64(1)).astype(np.int64)  # non-negative
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bh = self.band_hashes(batch)
+        n = len(ids)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(doc_ids),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.ravel()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
-
-
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].unique().tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    ids = ids[:max_bucket]  # cap pathological buckets; logged by caller via stats
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
 
 def minhash_candidate_pairs(
@@ -134,24 +134,52 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
-    concurrency: int = 4,
-    batch_size: int = 1024,
-) -> ray.data.Dataset:
-    """Distinct candidate near-dup pairs (a < b) via banded MinHash-LSH."""
-    band_rows = docs.map_batches(
-        MinHashBands(text_col, id_col, num_perm, bands, shingle_k),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # dedup pairs produced by multiple bands
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    concurrency: int | None = 4,
+    num_buckets: int = 16,
+    max_bucket: int = 64,
+) -> pd.DataFrame:
+    """Distinct candidate near-dup pairs (a < b) via banded MinHash-LSH.
 
-    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    One shuffle: each block ships, per (band, hash-bucket), a packed blob
+    of its (band_hash, doc_id) pairs; reducers group by exact band hash
+    and emit pairs.  Raw band rows (docs × bands of them) never become
+    shuffle rows (Ray sort-aggregate ≈30µs/row — stages/fused.py), and
+    the multi-band pair dedup is a driver-side drop_duplicates because
+    the candidate set is small by construction."""
+    import pickle
+
+    stage = MinHashBands(text_col, id_col, num_perm, bands, shingle_k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, bh = stage.band_hashes(batch)
+        out_k, out_blob = [], []
+        for b in range(bands):
+            col = bh[:, b]
+            buckets = col % num_buckets
+            for bb in np.unique(buckets):
+                m = buckets == bb
+                out_k.append(int(b * num_buckets + bb))
+                out_blob.append(pickle.dumps((col[m], ids[m])))
+        return pa.table({"k": pa.array(out_k, pa.int64()),
+                         "blob": pa.array(out_blob, pa.binary())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [pickle.loads(x) for x in g["blob"]]
+        sub = pd.DataFrame({
+            "bh": np.concatenate([p[0] for p in parts]),
+            "doc_id": np.concatenate([p[1] for p in parts]),
+        })
+        out = []
+        for _, grp in sub.groupby("bh"):
+            ids = sorted(grp["doc_id"].unique().tolist())[:max_bucket]
+            out.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+        return pd.DataFrame(out, columns=["a", "b"])
+
+    allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("k").map_groups(pairs, batch_format="pandas").to_pandas())
+    if allp.empty or "a" not in allp.columns:
+        return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    return allp.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
 
 def minhash_near_duplicates(
@@ -173,7 +201,7 @@ def minhash_near_duplicates(
     """
     cand = minhash_candidate_pairs(
         docs, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    ).to_pandas()
+    )
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "jaccard": []})
     needed = set(cand["a"]) | set(cand["b"])

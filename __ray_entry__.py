@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
+        "freshness_backtest": lambda sf_dir: history.backtest_freshness(),
         # flagship clips suite (rows-only; golden-tested)
         "clips_verdicts": lambda sf_dir: _run_suite(sf_dir).verdicts.drop(
             columns=["additional_debug_info", "downstream_impact"]),

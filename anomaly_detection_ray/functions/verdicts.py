@@ -298,3 +298,98 @@ def check_completeness(
                "forecast": str(int(res.forecast)),
                "residual_std": str(round(res.residual_std, 3))},
     )
+
+
+def backtest_commit_freshness(
+    commit_ts: np.ndarray,
+    eval_points: np.ndarray,
+    *,
+    retrain_every: int = 10,
+    lookback_seconds: float = 14 * 86400.0,
+    max_train: int = 200,
+    num_std: float = NUM_STD_FOR_RESIDUALS,
+) -> list[dict]:
+    """Rolling re-evaluation of the commit-freshness rule over a grid of
+    past eval points (reference §3.2 backtesting,
+    freshness_utils.py:850-930): cold-start training window = commits in
+    the last ``lookback_seconds`` capped at ``max_train`` points with a
+    min-2 fallback (reference 879-891); the fitted model is threaded WARM
+    between grid points via ``ARModel.update`` with only the new
+    durations (893-897) and retrained from scratch every
+    ``retrain_every`` evals or on error (922-928, ModelParams pattern).
+
+    Per grid point emits status + bound + the realized next commit, so
+    callers can score forecast quality (rmse/smape over model-evaluated
+    points, reference 933-954 — the known-anomaly precision/recall path
+    is NOT replicated; it is degenerate in the reference, SURVEY.md §3.2).
+    """
+    from anomaly_detection_ray.functions.forecast import fit_ar
+
+    ts = np.sort(np.asarray(commit_ts, dtype=np.float64))
+    out: list[dict] = []
+    model = None
+    evals_since_fit = 0
+    n_seen = 0
+
+    for ep in np.asarray(eval_points, dtype=np.float64):
+        hist = ts[ts < ep]
+        row = {"eval_ts": float(ep), "status": UNKNOWN,
+               "predicted_upper_bound_ts": None, "predicted_next_ts": None,
+               "actual_next_ts": None, "abs_error_seconds": None,
+               "warm": model is not None}
+        if hist.size < 2:
+            out.append(row)
+            continue
+        window = hist[hist >= ep - lookback_seconds]
+        if window.size < 2:
+            window = hist[-2:]  # min-2 fallback
+        durations = np.diff(window)[-max_train:]
+        try:
+            if model is None or evals_since_fit >= retrain_every:
+                model = fit_ar(durations)
+                evals_since_fit = 0
+                n_seen = durations.size
+                row["warm"] = False
+            else:
+                fresh = durations[n_seen:]
+                if fresh.size:
+                    model.update(fresh)
+                    n_seen = durations.size
+            res = model.predict_next(num_std)
+            evals_since_fit += 1
+        except Exception:
+            model = None  # retrain next round (reference 922-928)
+            row["status"] = UNKNOWN
+            out.append(row)
+            continue
+        last = float(window[-1])
+        predicted = max(res.forecast, res.min_val if res.forecast <= 0 else res.forecast)
+        upper = last + max(res.upper, 0.0)
+        upper = max(upper, last + predicted + commit_grace_seconds(durations))
+        row["status"] = HEALTHY if ep <= upper else UNHEALTHY
+        row["predicted_upper_bound_ts"] = float(upper)
+        row["predicted_next_ts"] = float(last + predicted)
+        nxt = ts[ts >= ep]
+        if nxt.size:
+            row["actual_next_ts"] = float(nxt[0])
+            row["abs_error_seconds"] = abs(row["predicted_next_ts"] - float(nxt[0]))
+        out.append(row)
+    return out
+
+
+def backtest_quality(rows: list[dict]) -> dict:
+    """rmse / smape over the model-evaluated grid points that have a
+    realized next commit (reference freshness_utils.py:933-954)."""
+    pts = [(r["predicted_next_ts"], r["actual_next_ts"], r["abs_error_seconds"])
+           for r in rows
+           if r["abs_error_seconds"] is not None and r["status"] in (HEALTHY, UNHEALTHY)]
+    if not pts:
+        return {"n_scored": 0, "rmse_seconds": None, "smape": None}
+    err = np.array([p[2] for p in pts])
+    pred = np.array([p[0] for p in pts])
+    actual = np.array([p[1] for p in pts])
+    denom = (np.abs(pred) + np.abs(actual)) / 2.0
+    smape = float(np.mean(np.where(denom > 0, err / denom, 0.0)))
+    return {"n_scored": len(pts),
+            "rmse_seconds": float(np.sqrt(np.mean(err ** 2))),
+            "smape": round(smape, 6)}

@@ -244,3 +244,51 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
     qs = [0.25, 0.5, 0.75, 0.95, 0.99]
     vals = td.quantile(qs)
     return pd.DataFrame({"q": qs, "value_quantile": np.round(vals, 4)})
+
+
+def backtest_freshness(
+    history_dir: str | None = None,
+    *,
+    eval_end_ts: float = _EVAL_TS,
+    eval_interval_s: float = 6 * 3600.0,
+    num_evals: int = 28,
+    retrain_every: int = 10,
+) -> pd.DataFrame:
+    """§3.2 backtesting: rolling freshness re-evaluation on a
+    left-inclusive 6h grid (reference FreshnessChecker.run_backtesting;
+    grid freshness_utils.py:863-870, cadence default detection.py:104),
+    one `map_groups` per partition — each group threads ONE warm model
+    through its grid (backtest_commit_freshness) and appends rmse/smape
+    quality columns (933-954)."""
+    from anomaly_detection_ray.functions.verdicts import (
+        backtest_commit_freshness,
+        backtest_quality,
+    )
+
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+    grid = eval_end_ts - eval_interval_s * np.arange(num_evals - 1, -1, -1)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pid = g["partition_id"].iloc[0]
+        ts = np.sort(g["timestamp"].astype("int64").to_numpy() / 1e6)[-MAX_HISTORY_COMMITS:]
+        try:
+            rows = backtest_commit_freshness(ts, grid, retrain_every=retrain_every)
+            q = backtest_quality(rows)
+        except Exception as e:  # error funnel: per-partition, never job
+            return pd.DataFrame([{
+                "partition_id": pid, "eval_ts": None, "status": "Unknown",
+                "warm": False, "n_scored": 0, "rmse_seconds": None,
+                "smape": None, "error": str(e)[:100],
+            }])
+        df = pd.DataFrame(rows)
+        df["partition_id"] = pid
+        df["n_scored"] = q["n_scored"]
+        df["rmse_seconds"] = q["rmse_seconds"]
+        df["smape"] = q["smape"]
+        df["error"] = None
+        return df[["partition_id", "eval_ts", "status", "warm",
+                   "n_scored", "rmse_seconds", "smape", "error"]]
+
+    out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
+    return out.sort_values(["partition_id", "eval_ts"]).reset_index(drop=True)

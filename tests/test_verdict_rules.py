@@ -157,3 +157,46 @@ def test_format_duration():
     assert format_duration(45) == "45 sec"
     assert format_duration(3660) == "1 hr 1 min"
     assert format_duration(90061) == "1 day(s) 1 hr 1 min"
+
+
+class TestBacktest:
+    def test_regular_cadence_all_healthy_and_warm(self):
+        from anomaly_detection_ray.functions.verdicts import (
+            backtest_commit_freshness,
+            backtest_quality,
+        )
+
+        ts = 1_700_000_000.0 + 3600.0 * np.arange(200)  # hourly commits
+        grid = ts[-1] - 6 * 3600.0 * np.arange(9, -1, -1)
+        rows = backtest_commit_freshness(ts, grid)
+        assert all(r["status"] == "Healthy" for r in rows)
+        # first eval fits cold, later ones thread the warm model
+        assert rows[0]["warm"] is False and any(r["warm"] for r in rows[1:])
+        q = backtest_quality(rows)
+        assert q["n_scored"] > 0
+        # hourly cadence is perfectly predictable → error ≪ one period
+        assert q["rmse_seconds"] < 600
+
+    def test_stalled_partition_goes_unhealthy(self):
+        from anomaly_detection_ray.functions.verdicts import backtest_commit_freshness
+
+        ts = 1_700_000_000.0 + 3600.0 * np.arange(100)  # stops after ~4 days
+        grid = ts[-1] + 86400.0 * np.arange(1, 4)  # evals a day+ after stall
+        rows = backtest_commit_freshness(ts, grid)
+        assert all(r["status"] == "Unhealthy" for r in rows)
+
+    def test_too_few_points_unknown(self):
+        from anomaly_detection_ray.functions.verdicts import backtest_commit_freshness
+
+        rows = backtest_commit_freshness(np.array([1_700_000_000.0]),
+                                         np.array([1_700_100_000.0]))
+        assert rows[0]["status"] == "Unknown"
+
+    def test_retrain_cycle(self):
+        from anomaly_detection_ray.functions.verdicts import backtest_commit_freshness
+
+        ts = 1_700_000_000.0 + 1800.0 * np.arange(400)
+        grid = ts[-1] - 3600.0 * np.arange(24, 0, -1)
+        rows = backtest_commit_freshness(ts, grid, retrain_every=5)
+        cold = [i for i, r in enumerate(rows) if not r["warm"]]
+        assert cold[0] == 0 and len(cold) >= 4  # retrain every 5 evals

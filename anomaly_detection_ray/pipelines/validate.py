@@ -103,6 +103,8 @@ def validate_clips(
     baseline_stats: Optional[pd.DataFrame] = None,
     eval_ts: Optional[float] = None,
     checkpoint: Optional[RunCheckpoint] = None,
+    lineage: Optional[dict] = None,
+    popularity: Optional[dict] = None,
 ) -> ValidationResult:
     cfg = config or SuiteConfig.from_env()
     eval_ts = eval_ts if eval_ts is not None else 1_754_000_000.0
@@ -305,6 +307,20 @@ def validate_clips(
                 "detail": str(r["detail"]),
             } for _, r in g.iterrows()}
             verdict_rows.append(_verdict(pid, "drift", st, dbg))
+
+    # ---- blast radius on unhealthy partitions (reference F12 attaches it
+    # only when the verdict is bad, freshness_utils.py:739-752) -----------
+    if lineage is not None:
+        from anomaly_detection_ray.functions.blast_radius import get_blast_radius
+
+        br_cache: dict[str, dict] = {}
+        for r in verdict_rows:
+            if r["status"] == UNHEALTHY:
+                pid = r[PARTITION_COL]
+                if pid not in br_cache:
+                    br_cache[pid] = get_blast_radius(
+                        pid, lineage, popularity or {}).as_struct()
+                r["downstream_impact"] = br_cache[pid]
 
     # ---- assemble + reference ordering -----------------------------------
     verdicts = pd.DataFrame(verdict_rows)

@@ -215,3 +215,25 @@ class TestJobCli:
         m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert m2["partitions_skipped_resume"] > 0
         assert m2["rows_validated"] == 0
+
+
+class TestBlastRadiusWiring:
+    def test_unhealthy_verdicts_carry_lineage_impact(self, ray_session):
+        from anomaly_detection_ray.config import SuiteConfig
+        from anomaly_detection_ray.pipelines.validate import validate_clips
+        from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+
+        cfg = SuiteConfig(num_partitions=4, checks=("null_rate", "uniqueness",
+                                                    "audio_decode", "referential"))
+        pids = [f"p{i:04d}" for i in range(4)]
+        lineage = {p: ["gold", "ml"] for p in pids}
+        pop = {"gold": 5000, "ml": 10}
+        res = validate_clips(clips_path(3000), transcripts_path(3000), config=cfg,
+                             lineage=lineage, popularity=pop)
+        bad = res.verdicts[res.verdicts["status"] == "Unhealthy"]
+        assert len(bad) > 0
+        for d in bad["downstream_impact"]:
+            assert d == {"impact_level": 4, "num_downstream_tables": 2,
+                         "num_queries_on_affected_tables": 5010}
+        ok = res.verdicts[res.verdicts["status"] == "Healthy"]
+        assert all(d["num_downstream_tables"] == 0 for d in ok["downstream_impact"])

@@ -200,3 +200,29 @@ class TestBacktest:
         rows = backtest_commit_freshness(ts, grid, retrain_every=5)
         cold = [i for i, r in enumerate(rows) if not r["warm"]]
         assert cold[0] == 0 and len(cold) >= 4  # retrain every 5 evals
+
+
+class TestBlastRadius:
+    def test_impact_thresholds_verbatim(self):
+        from anomaly_detection_ray.functions.blast_radius import determine_impact_level
+
+        assert [determine_impact_level(n) for n in (0, 30, 31, 300, 301, 3000, 3001)] == \
+            [1, 1, 2, 2, 3, 3, 4]
+
+    def test_closure_bfs_and_cycles(self):
+        from anomaly_detection_ray.functions.blast_radius import downstream_closure
+
+        lineage = {"a": ["b", "c"], "b": ["d"], "c": ["d"], "d": ["a"]}  # cycle back
+        assert downstream_closure(lineage, "a") == ["a", "b", "c", "d"]
+        assert downstream_closure(lineage, "d") == ["d", "a", "b", "c"]
+        assert downstream_closure({}, "x") == ["x"]
+
+    def test_get_blast_radius(self):
+        from anomaly_detection_ray.functions.blast_radius import get_blast_radius
+
+        lineage = {"p0": ["gold", "ml"], "gold": ["dash"]}
+        pop = {"p0": 5, "gold": 200, "dash": 2000, "ml": 1}
+        br = get_blast_radius("p0", lineage, pop)
+        assert br.num_downstream_tables == 3
+        assert br.num_queries_on_affected_tables == 2206
+        assert br.impact_level == 3

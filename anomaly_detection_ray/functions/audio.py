@@ -189,11 +189,14 @@ def audio_qc_features(sig: np.ndarray, sr_hz: int) -> dict:
     peak = float(np.abs(x).max())
     thresh = max(peak, 1e-12) * 0.01
     out["silence_ratio"] = float((np.abs(x) < thresh).mean())
-    # zero-pad to the next power of two: rfft on awkward prime-factor
-    # lengths degrades badly; padding keeps the transform O(n log n) with a
-    # bounded constant and does not move centroid/dominant-bin estimates
-    nfft = 1 << int(np.ceil(np.log2(n)))
-    spec = np.abs(np.fft.rfft(x, n=nfft))
+    # Spectral features on a BOUNDED analysis window (≤16384 samples ≈ 1 s
+    # at 16 kHz), zero-padded to the next power of two: rfft on awkward
+    # prime-factor lengths degrades badly, and an unbounded window would
+    # make a 2-hour clip cost 1000× a 1-second one in the QC stage — the
+    # per-row cost must stay O(window), not O(clip), at 10^12-clip scale.
+    w = x[:16384]
+    nfft = 1 << int(np.ceil(np.log2(w.size)))
+    spec = np.abs(np.fft.rfft(w, n=nfft))
     if spec.size > 1:
         spec[0] = 0.0  # drop DC for centroid/dominant
         power = spec * spec

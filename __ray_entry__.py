@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
         "freshness_backtest": lambda sf_dir: history.backtest_freshness(),
+        "event_freshness": history.event_freshness_verdicts,
         # flagship clips suite (rows-only; golden-tested)
         "clips_verdicts": lambda sf_dir: _run_suite(sf_dir).verdicts.drop(
             columns=["additional_debug_info", "downstream_impact"]),

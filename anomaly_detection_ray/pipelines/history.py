@@ -292,3 +292,61 @@ def backtest_freshness(
 
     out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
     return out.sort_values(["partition_id", "eval_ts"]).reset_index(drop=True)
+
+
+def event_freshness_verdicts(
+    sf_dir: str,
+    *,
+    num_samples: int = 48,
+    sample_interval_s: float = 3600.0,
+) -> pd.DataFrame:
+    """F7 event-latency freshness over the events table: per event_type,
+    sample hourly eval points (≥1h apart, newest kept — the reference's
+    S3 sampling rule, freshness_utils.py:234-255), latency at each point =
+    eval_time − max(event_ts ≤ eval_time) via one searchsorted over the
+    sorted series (the as-of grouped max, SURVEY §2.1 series C), then
+    train on all but the last latency and verdict the last (F7)."""
+    from anomaly_detection_ray.functions.verdicts import check_event_freshness
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+    # anchor the eval grid at the DATASET's latest event ("now"), not each
+    # type's own last event — a fully-stalled type must accumulate latency
+    # against global time or it can never look stale (reference evaluates
+    # at eval_time, freshness_utils.py:258-324)
+    now_us = ds.max("ts")
+    now_s = pd.Timestamp(now_us).value / 1e9 + 60.0
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        ts = np.sort(g["ts"].astype("int64").to_numpy() / 1e6)
+        # TRAINING latencies come from the type's healthy era (samples at
+        # or before its last event — the reference trains at sampled
+        # commit times, which stop when updates stop); the ACTUAL latency
+        # is measured at global now.  Training on post-stall samples would
+        # teach the model the stall and never flag it.
+        grid = ts[-1] - sample_interval_s * np.arange(num_samples - 1, -1, -1)
+        grid = grid[grid > ts[0]]
+        actual = now_s - ts[-1]
+        if grid.size < 3:
+            return pd.DataFrame([{"event_type": et, "status": "Unknown",
+                                  "n_samples": int(grid.size),
+                                  "actual_latency_s": round(actual, 1),
+                                  "upper_bound_s": None,
+                                  "rule": "not_enough_history"}])
+        idx = np.searchsorted(ts, grid, side="right") - 1
+        lat = grid - ts[idx]
+        # check_event_freshness trains on series[:-1] (the reference's
+        # "all but last"), so the actual joins the series as its tail
+        v = check_event_freshness(np.append(lat, actual), float(actual))
+        return pd.DataFrame([{
+            "event_type": et,
+            "status": v.status,
+            "n_samples": int(grid.size),
+            "actual_latency_s": round(float(actual), 1),
+            "upper_bound_s": (round(float(v.predicted_upper_bound_ts), 1)
+                              if v.predicted_upper_bound_ts is not None else None),
+            "rule": v.debug.get("rule", v.error_code or ""),
+        }])
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -237,3 +237,36 @@ class TestBlastRadiusWiring:
                          "num_queries_on_affected_tables": 5010}
         ok = res.verdicts[res.verdicts["status"] == "Healthy"]
         assert all(d["num_downstream_tables"] == 0 for d in ok["downstream_impact"])
+
+
+class TestEventFreshness:
+    def test_healthy_stream(self, ray_session):
+        from anomaly_detection_ray.pipelines.history import event_freshness_verdicts
+
+        df = event_freshness_verdicts("/root/testdata/sf0.001")
+        assert len(df) >= 3
+        assert set(df["status"]) <= {"Healthy", "Unhealthy", "Unknown"}
+        assert (df.loc[df["status"] != "Unknown", "n_samples"] >= 4).all()
+
+    def test_stalled_type_goes_unhealthy(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import numpy as np
+        from anomaly_detection_ray.pipelines.history import event_freshness_verdicts
+
+        # steady hourly events, then one type goes silent for 3 days while
+        # another keeps emitting (so 'now' advances past the stall)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        live = base + (np.arange(0, 200 * 3600, 900) * 1_000_000).astype("timedelta64[us]")
+        stalled = live[live < live[-1] - np.timedelta64(3, "D")]
+        t = pa.table({
+            "event_type": pa.array(["live"] * len(live) + ["stalled"] * len(stalled)),
+            "ts": pa.array(np.concatenate([live, stalled])),
+        })
+        d = tmp_path / "sf0.5"; d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        df = event_freshness_verdicts(str(d)).set_index("event_type")
+        assert df.loc["live", "status"] == "Healthy"
+        # grid anchored at GLOBAL now: the stalled type's ~3-day final
+        # latency blows past its forecast bound
+        assert df.loc["stalled", "status"] == "Unhealthy"

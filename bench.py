@@ -193,9 +193,101 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     }
 
 
+def run_node_scaling(sf_dir: str, nodes: int = 4, cpus_per_node: int = 4) -> dict:
+    """Weak-scaling proxy closest to the N vs 4N NODES criterion: each
+    "node" is a fresh OS process with its own Ray instance
+    (num_cpus=cpus_per_node) validating its own DISJOINT shard of the
+    clips table — separate object stores, separate schedulers, no shared
+    Ray state, exactly like cluster nodes except for the shared physical
+    box.  1 node × 1 shard vs `nodes` concurrent nodes × `nodes` shards:
+    ideal weak scaling keeps wall time flat (efficiency = T1/TN = 1.0)
+    while total throughput grows N×."""
+    import shutil
+    import tempfile
+
+    sf = _sf_of(sf_dir)
+    n_clips = max(int(6_000_000 * sf), 500)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+
+    cp, tp = clips_path(n_clips), transcripts_path(n_clips)
+    ray.shutdown()
+
+    # build disjoint shards by symlinking chunk-file subsets (clips chunk c
+    # and transcripts chunk c cover the same id range by construction)
+    root = tempfile.mkdtemp(prefix="adr_shards_")
+    shard_dirs = []
+    files_c = sorted(f for f in os.listdir(cp) if f.endswith(".parquet"))
+    files_t = sorted(f for f in os.listdir(tp) if f.endswith(".parquet"))
+    for s in range(nodes):
+        cd, td = os.path.join(root, f"clips{s}"), os.path.join(root, f"tr{s}")
+        os.makedirs(cd), os.makedirs(td)
+        for f in files_c[s::nodes]:
+            os.symlink(os.path.join(cp, f), os.path.join(cd, f))
+        for f in files_t[s::nodes]:
+            os.symlink(os.path.join(tp, f), os.path.join(td, f))
+        shard_dirs.append((cd, td))
+
+    worker = (
+        "import ray, time, sys\n"
+        f"ray.init(address='local', num_cpus={cpus_per_node}, include_dashboard=False, logging_level='ERROR')\n"
+        "from ray.data.context import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "from anomaly_detection_ray.config import SuiteConfig\n"
+        "from anomaly_detection_ray.pipelines.validate import validate_clips\n"
+        "cfg = SuiteConfig(num_partitions=32)\n"
+        "t0 = time.perf_counter()\n"
+        "res = validate_clips(sys.argv[1], sys.argv[2], config=cfg)\n"
+        "print('NODE_SEC', time.perf_counter() - t0)\n"
+        "ray.shutdown()\n"
+    )
+
+    def launch(shards):
+        procs = [subprocess.Popen([sys.executable, "-c", worker, c, t],
+                                  stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                                  text=True, env=dict(os.environ))
+                 for c, t in shards]
+        secs = []
+        for p in procs:
+            out, _ = p.communicate()
+            assert p.returncode == 0, "shard worker failed"
+            secs.append(float([l for l in out.splitlines()
+                               if l.startswith("NODE_SEC")][-1].split()[1]))
+        return secs
+
+    t0 = time.perf_counter()
+    one = launch(shard_dirs[:1])
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    many = launch(shard_dirs)
+    t_many = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    shard_rows = n_clips // nodes
+    return {
+        "metric": f"weak scaling, 1 vs {nodes} virtual nodes ({cpus_per_node} CPUs each)",
+        "shard_clips": shard_rows,
+        "sec_1node": round(t_one, 3),
+        f"sec_{nodes}nodes": round(t_many, 3),
+        "per_node_secs": [round(s, 3) for s in many],
+        "throughput_1node": round(shard_rows / t_one, 1),
+        f"throughput_{nodes}nodes": round(nodes * shard_rows / t_many, 1),
+        "weak_scaling_efficiency": round(t_one / t_many, 3),
+        "sf": sf,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling-nodes" in sys.argv:
+        print(json.dumps(run_node_scaling(sf_dir)))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
         return

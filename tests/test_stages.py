@@ -156,3 +156,20 @@ class TestReferential:
         right = rd.from_items([{"k": "a"}, {"k": "b"}])
         orphans = referential_orphans(left, right, "k").to_pandas()
         assert len(orphans) == 1 and orphans["k"].isna().all()
+
+
+class TestKeyIntegrity:
+    def test_counts_both_sides_one_shuffle(self, ray_session):
+        from anomaly_detection_ray.stages.join import key_integrity
+
+        left = rd.from_pandas(pd.DataFrame(
+            {"k": ["a", "a", "b", "c", None, "e"]}))
+        right = rd.from_pandas(pd.DataFrame({"k": ["a", "c", "c", "d"]}))
+        out = key_integrity(left, right, "k", num_partitions=4).to_pandas()
+        by = out.set_index("k")
+        assert by.loc["a", "n_left"] == 2 and by.loc["a", "n_right"] == 1
+        assert by.loc["b", "n_right"] == 0          # left orphan
+        assert by.loc["c", "n_right"] == 2
+        assert by.loc["d", "n_left"] == 0           # right orphan
+        assert None not in by.index                 # nulls never enter the shuffle
+        assert len(by) == 5

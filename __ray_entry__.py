@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "minhash_near_dups": textops.minhash_near_dups,
         "simhash_near_dups": textops.simhash_near_dups,
+        "winnow_near_dups": textops.winnow_near_dups,
         # vectors
         "embedding_topk": vectors.embedding_topk,
         "knn_label_counts": vectors.knn_label_counts,

@@ -115,3 +115,75 @@ def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_near_duplicates(ds, "text", "doc_id", max_hamming=3)
+
+
+def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5) -> pd.DataFrame:
+    """Winnowing (MOSS-style) near-dup detection: per-doc rolling-hash
+    fingerprint sets, inverted to (fingerprint → docs) via the
+    blob-combiner shuffle (a fingerprint always lands in one bucket, so
+    per-bucket co-occurrence counts sum exactly across reducers), pairs
+    kept when they share ≥ min_shared fingerprints AND ≥ min_overlap of
+    the smaller doc's set (exact-verified on the candidates)."""
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import hash64 as _h64
+    from anomaly_detection_ray.functions.text import winnow_fingerprints
+
+    num_buckets = 16
+    max_docs_per_fp = 32
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fps, ids = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            f = winnow_fingerprints(t or "")
+            fps.append(f)
+            ids.append(np.full(f.size, i, dtype=object))
+        if not fps:
+            return pd.DataFrame({"bucket": [], "blob": []})
+        allf = np.concatenate(fps)
+        alli = np.concatenate(ids)
+        buckets = (allf % np.uint64(num_buckets)).astype(np.int64)
+        rows = [(int(b), pickle.dumps((allf[buckets == b], alli[buckets == b])))
+                for b in np.unique(buckets)]
+        return pd.DataFrame(rows, columns=["bucket", "blob"])
+
+    def shared_counts(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [pickle.loads(x) for x in g["blob"]]
+        sub = pd.DataFrame({"fp": np.concatenate([p[0] for p in parts]),
+                            "doc": np.concatenate([p[1] for p in parts])})
+        from collections import Counter
+
+        c: Counter = Counter()
+        for _, grp in sub.groupby("fp"):
+            docs = sorted(grp["doc"].unique().tolist())[:max_docs_per_fp]
+            for i, a in enumerate(docs):
+                for b in docs[i + 1:]:
+                    c[(a, b)] += 1
+        if not c:
+            return pd.DataFrame({"a": [], "b": [], "shared": []})
+        ks = list(c)
+        return pd.DataFrame({"a": [k[0] for k in ks], "b": [k[1] for k in ks],
+                             "shared": [c[k] for k in ks]})
+
+    per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
+                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas")
+                  .to_pandas())
+    if per_bucket.empty or "a" not in per_bucket.columns:
+        return pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
+    cand = (per_bucket.groupby(["a", "b"], as_index=False)["shared"].sum())
+    cand = cand[cand["shared"] >= min_shared]
+    if cand.empty:
+        return pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
+    # exact verify on the (small) candidate set
+    needed = set(cand["a"]) | set(cand["b"])
+    fmap: dict = {}
+    for b in ds.iter_batches(batch_size=8192, batch_format="pandas"):
+        for i, t in zip(b["doc_id"], b["text"]):
+            if i in needed:
+                fmap[i] = winnow_fingerprints(t or "")
+    ov = [len(np.intersect1d(fmap[a], fmap[b])) / max(min(fmap[a].size, fmap[b].size), 1)
+          for a, b in zip(cand["a"], cand["b"])]
+    cand = cand.assign(overlap=np.round(ov, 4))
+    cand = cand[cand["overlap"] >= min_overlap]
+    return cand.sort_values(["a", "b"]).reset_index(drop=True)

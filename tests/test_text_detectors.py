@@ -106,3 +106,26 @@ class TestHuber:
         mu, s = huber_location_scale(x)
         assert abs(mu - 10) < 0.5
         assert s < 3
+
+
+class TestWinnowPipeline:
+    def test_finds_planted_pair(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        from anomaly_detection_ray.pipelines.textops import winnow_near_dups
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep green forest to hide from all the hunters")
+        docs = [base + f" tail{i}" for i in (1, 2)]  # near-identical pair
+        others = [f"completely different document number {i} with its own words "
+                  f"about topic {i*7} and nothing shared beyond english" for i in range(30)]
+        t = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(len(docs) + len(others))]),
+            "text": pa.array(docs + others),
+        })
+        d = tmp_path / "sf0.5"; d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        out = winnow_near_dups(str(d))
+        pairs = set(zip(out["a"], out["b"]))
+        assert ("d0", "d1") in pairs
+        assert out.set_index(["a", "b"]).loc[("d0", "d1"), "overlap"] > 0.7

@@ -225,7 +225,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_k_by_type": """
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1
         """,
@@ -234,17 +235,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_lang": """
             SELECT lang,
-                   sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                   CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
-                       END) AS total_tokens,
+                       END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "doc_length_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(length(text)) AS total_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    round(sum(length(text))::DOUBLE / count(*), 4) AS mean_chars,
-                   sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS n_chars_mismatches
+                   CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_chars_mismatches
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "doc_fingerprints": """

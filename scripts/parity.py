@@ -36,15 +36,18 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-sort + row-sort only; datetimes canonicalised to [us].
+
+    Deliberately does NOT coerce int<->float: the driver's value hash is
+    dtype-sensitive (DuckDB HUGEINT sums land as float64; our int64 output
+    must either match or the oracle must CAST AS BIGINT). This gate must be
+    at least as strict as the driver's (VERDICT r1 'What's wrong' #1).
+    """
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -58,8 +61,21 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
         problems.append(f"rows {len(a)} != {len(b)}")
         return problems
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]):
-            eq = np.isclose(a[c].fillna(-1e308), b[c].fillna(-1e308), rtol=0, atol=1e-9)
+        ka = "f" if pd.api.types.is_float_dtype(a[c]) else (
+            "i" if pd.api.types.is_integer_dtype(a[c]) else "o")
+        kb = "f" if pd.api.types.is_float_dtype(b[c]) else (
+            "i" if pd.api.types.is_integer_dtype(b[c]) else "o")
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype} "
+                "(driver hash is dtype-sensitive)")
+            continue
+        if ka == "f":
+            # exact float equality — the driver hashes exact values; our
+            # pipelines round results, so exact match must hold.
+            av = a[c].fillna(-1e308).to_numpy(dtype="float64")
+            bv = b[c].fillna(-1e308).to_numpy(dtype="float64")
+            eq = av == bv
         else:
             eq = (a[c].fillna("__n__") == b[c].fillna("__n__"))
         if not eq.all():

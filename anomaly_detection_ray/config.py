@@ -63,8 +63,8 @@ SYNTH_SEED = 0
 COMMIT_GRACE_SMALL_MEDIAN = 30 * 60      # Δmed < 30min branch
 COMMIT_GRACE_FLOOR = 15 * 60             # grace = max(Δmed, 15min)
 COMMIT_GRACE_CAP = 12 * 3600             # else grace = min(12h, 0.5·Δmed)
-EVENT_GRACE_SMALL_MEDIAN = 30 * 60       # event variant breakpoints 30/60min
-EVENT_GRACE_FLOOR = 60 * 60
+EVENT_GRACE_SMALL_MEDIAN = 60 * 60       # median latency < 60min branch
+EVENT_GRACE_FLOOR = 30 * 60              # grace = max(median, 30min)
 
 #: SPOT defaults (reference: third_party/spot.py — q, init level).
 SPOT_RISK_Q = 1e-4
@@ -99,7 +99,9 @@ OPERATION_ROW_METRIC = {
     "CREATE OR REPLACE TABLE AS SELECT": "numOutputRows",
     "COPY INTO": "numOutputRows",
     "STREAMING UPDATE": "numOutputRows",
-    "CLONE": "numOutputRows",
+    # CLONE is deliberately ABSENT: it is whitelisted as an update op but the
+    # reference's volume extraction (completeness_utils.py operation_to_metric)
+    # omits it, so a CLONE commit contributes 0 added rows.
     "MERGE": "numTargetRowsInserted",
     "UPDATE": "numUpdatedRows",
 }

@@ -149,8 +149,11 @@ def check_commit_freshness(
         return FreshnessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
     last = float(ts[-1])
 
-    # F10: static-table short-circuit (Fresh, no prediction)
-    if eval_ts - last > static_age_seconds and constant_threshold_seconds is None:
+    # F10: static-table short-circuit (Fresh, no prediction).  Runs FIRST,
+    # before any constant-threshold override — the reference dispatcher
+    # (freshness_utils.py:674-683) calls check_is_static_table up front and
+    # only falls through to overrides when the table is not static.
+    if eval_ts - last > static_age_seconds:
         return FreshnessVerdict(HEALTHY, last_update_ts=last, is_static=True,
                                 debug={"reason": "static_table"})
 
@@ -230,7 +233,10 @@ def check_event_freshness(
     except Exception:
         return FreshnessVerdict(UNKNOWN, error_code=ERR_FAILED_TO_FIT)
     grace = event_grace_seconds(lat[:-1])
-    upper = max(res.upper, res.forecast + grace)
+    # Event path is ADDITIVE: grace goes on top of the CI upper bound
+    # (freshness_utils.py:594-596 event_predicted_upper_bound_latency_seconds
+    # = int(upper_CI + grace)) — unlike the commit path's max(CI, pred+grace).
+    upper = float(int(res.upper + grace))
     ok = actual_latency_seconds <= upper
     return FreshnessVerdict(
         HEALTHY if ok else UNHEALTHY,
@@ -329,7 +335,14 @@ def backtest_commit_freshness(
     out: list[dict] = []
     model = None
     evals_since_fit = 0
-    n_seen = 0
+    # Watermark: end-timestamp of the last duration fed to the warm model.
+    # A count-based slice (durations[n_seen:]) breaks once the max_train cap
+    # or the sliding lookback shifts the array left while keeping its length —
+    # the slice goes empty and the model silently freezes.  Tracking the
+    # timestamp instead matches the reference's ModelParams threading
+    # (freshness_utils.py:893-897: update with durations strictly after the
+    # last trained point).
+    last_fed_ts = -np.inf
 
     for ep in np.asarray(eval_points, dtype=np.float64):
         hist = ts[ts < ep]
@@ -344,17 +357,18 @@ def backtest_commit_freshness(
         if window.size < 2:
             window = hist[-2:]  # min-2 fallback
         durations = np.diff(window)[-max_train:]
+        dur_end_ts = window[1:][-max_train:]   # end timestamp of each duration
         try:
             if model is None or evals_since_fit >= retrain_every:
                 model = fit_ar(durations)
                 evals_since_fit = 0
-                n_seen = durations.size
+                last_fed_ts = float(dur_end_ts[-1]) if dur_end_ts.size else -np.inf
                 row["warm"] = False
             else:
-                fresh = durations[n_seen:]
+                fresh = durations[dur_end_ts > last_fed_ts]
                 if fresh.size:
                     model.update(fresh)
-                    n_seen = durations.size
+                    last_fed_ts = float(dur_end_ts[-1])
             res = model.predict_next(num_std)
             evals_since_fit += 1
         except Exception:

@@ -55,6 +55,15 @@ class TestCommitFreshness:
         v = check_commit_freshness(ts, ts[-1] + 31 * 86400)
         assert v.status == HEALTHY and v.is_static
 
+    def test_static_beats_constant_threshold(self):
+        # reference dispatcher (freshness_utils.py:674-683): the static check
+        # runs FIRST — a >30-day-old table with a constant threshold is still
+        # Fresh, not Unhealthy.
+        ts = hourly(50)
+        v = check_commit_freshness(ts, ts[-1] + 31 * 86400,
+                                   constant_threshold_seconds=600)
+        assert v.status == HEALTHY and v.is_static
+
     def test_constant_threshold_override(self):
         # reference F8: Fresh iff eval ≤ last + threshold
         ts = hourly(10)
@@ -71,8 +80,13 @@ class TestCommitFreshness:
         assert commit_grace_seconds(slow) == pytest.approx(12 * 3600)  # cap
         mid = np.full(100, 2 * 3600.0)
         assert commit_grace_seconds(mid) == pytest.approx(3600)  # 0.5·Δmed
+        # event variant (reference: branch at median<60min, floor 30min)
         lat_fast = np.full(50, 100.0)
-        assert event_grace_seconds(lat_fast) == pytest.approx(3600)  # event floor
+        assert event_grace_seconds(lat_fast) == pytest.approx(30 * 60)  # floor
+        lat_mid = np.full(50, 45 * 60.0)   # 45-min median latency
+        assert event_grace_seconds(lat_mid) == pytest.approx(45 * 60)  # = median
+        lat_slow = np.full(50, 4 * 86400.0)
+        assert event_grace_seconds(lat_slow) == pytest.approx(12 * 3600)  # cap
 
     def test_max_grace_testing_hook(self):
         # reference model_config.py:14-15: testing hook caps the grace
@@ -98,6 +112,20 @@ class TestEventFreshness:
                                      constant_threshold_seconds=60).status == HEALTHY
         assert check_event_freshness(np.array([]), 70,
                                      constant_threshold_seconds=60).status == UNHEALTHY
+
+    def test_grace_is_additive_on_ci_upper(self):
+        # reference freshness_utils.py:594-596: event bound = int(CI upper +
+        # grace), strictly looser than max(CI, forecast+grace).  A latency
+        # just above the bare CI upper but within CI+grace must be Healthy.
+        lat = rng.normal(600, 30, 50)
+        v_ok = check_event_freshness(lat, 620)
+        from anomaly_detection_ray.functions.forecast import fit_ar
+        res = fit_ar(np.asarray(lat[:-1], dtype=float)).predict_next(3.0)
+        probe = res.upper + 10 * 60  # above CI, inside the 30-min floor grace
+        v = check_event_freshness(lat, probe)
+        assert v.status == HEALTHY
+        assert v_ok.predicted_upper_bound_ts == pytest.approx(
+            int(res.upper + 30 * 60))
 
 
 class TestCompleteness:
@@ -201,6 +229,31 @@ class TestBacktest:
         cold = [i for i, r in enumerate(rows) if not r["warm"]]
         assert cold[0] == 0 and len(cold) >= 4  # retrain every 5 evals
 
+    def test_warm_model_keeps_updating_past_train_cap(self, monkeypatch):
+        # Regression for the frozen-warm-model bug: once the max_train cap is
+        # hit the duration array shifts left at constant length, so a
+        # count-based slice would go empty and model.update would never fire.
+        # The timestamp-watermark threading must keep feeding new durations.
+        from anomaly_detection_ray.functions import forecast
+        from anomaly_detection_ray.functions.verdicts import backtest_commit_freshness
+
+        update_calls = []
+        orig_update = forecast.ARModel.update
+
+        def spy(self, durations):
+            update_calls.append(len(np.atleast_1d(durations)))
+            return orig_update(self, durations)
+
+        monkeypatch.setattr(forecast.ARModel, "update", spy)
+        ts = 1_700_000_000.0 + 1800.0 * np.arange(3000)  # 30-min cadence
+        # grid of hourly evals late in the series: every window is capped at
+        # max_train=20 durations, so each eval sees a full, shifted window
+        grid = ts[-1] - 3600.0 * np.arange(10, 0, -1)
+        backtest_commit_freshness(ts, grid, retrain_every=1000, max_train=20)
+        # one warm update per post-cold eval, each fed the ~2 new durations
+        assert len(update_calls) == 9
+        assert all(n >= 1 for n in update_calls)
+
 
 class TestBlastRadius:
     def test_impact_thresholds_verbatim(self):
@@ -226,3 +279,14 @@ class TestBlastRadius:
         assert br.num_downstream_tables == 3
         assert br.num_queries_on_affected_tables == 2206
         assert br.impact_level == 3
+
+
+def test_clone_contributes_zero_volume():
+    # reference completeness_utils operation_to_metric omits CLONE: it is a
+    # whitelisted update op (freshness) but adds 0 rows (completeness).
+    from anomaly_detection_ray.pipelines.history import _row_volume
+
+    assert _row_volume("CLONE", {"numOutputRows": "500"}) == 0
+    assert _row_volume("WRITE", {"numOutputRows": "500"}) == 500
+    assert _row_volume("MERGE", {"numTargetRowsInserted": "10",
+                                 "numDeletedRows": "3"}) == 7

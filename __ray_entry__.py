@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_rate_documents": relational.null_rate_documents,
         "column_stats_lineitem": relational.column_stats_lineitem,
         "distinct_counts": relational.distinct_counts,
+        "distinct_users_exact": relational.distinct_users_exact,
         "customers_without_orders": relational.customers_without_orders,
         "top_customers": relational.top_customers,
         "revenue_by_orderstatus": relational.revenue_by_orderstatus,
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
+        "history_update_commits": lambda sf_dir: history.history_update_commits(),
         "freshness_backtest": lambda sf_dir: history.backtest_freshness(),
         "event_freshness": history.event_freshness_verdicts,
         # flagship clips suite (rows-only; golden-tested)
@@ -116,8 +118,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
-def oracle_sql() -> dict[str, str]:
+def _history_oracle_sqls() -> dict[str, str]:
+    """Oracles over the synthetic ingest-history parquet, referenced by
+    absolute path (DuckDB reads paths directly; the driver registers only
+    the sf-dir views).  ``history_path()`` materializes the table if needed
+    — it is a pure function of (seed, num_partitions), so the SQL sees the
+    exact rows the Ray pipelines read."""
+    from anomaly_detection_ray.config import UPDATE_OPERATIONS
+    from anomaly_detection_ray.sources.synth import history_path
+
+    p = history_path()
+    ops = ", ".join(f"'{o}'" for o in UPDATE_OPERATIONS)
+    # M1 whitelist + M2 empty-write filter, shared by both history oracles.
+    # Map extraction in DuckDB 1.0 returns a LIST → take element [1].
+    filt = f"""
+        FROM read_parquet('{p}/*.parquet')
+        WHERE operation IN ({ops})
+          AND NOT (operationMetrics['numFiles'][1] = '0'
+                   AND operationMetrics['numOutputRows'][1] = '0'
+                   AND operationMetrics['numOutputBytes'][1] = '0')
+    """
     return {
+        # M3 volume extraction: op→metric (CLONE deliberately contributes 0)
+        # minus numDeletedRows, day-bucketed back from the fixed eval ts.
+        "daily_history_volumes": f"""
+            SELECT partition_id,
+                   CAST(floor((1754000000.0 - epoch_us(timestamp)/1000000.0)
+                              / 86400) AS BIGINT) AS day_bucket,
+                   CAST(sum(
+                        CASE WHEN operation IN ('WRITE', 'CREATE TABLE AS SELECT',
+                             'REPLACE TABLE AS SELECT',
+                             'CREATE OR REPLACE TABLE AS SELECT', 'COPY INTO',
+                             'STREAMING UPDATE')
+                             THEN CAST(operationMetrics['numOutputRows'][1] AS BIGINT)
+                             WHEN operation = 'MERGE'
+                             THEN CAST(coalesce(operationMetrics['numTargetRowsInserted'][1], '0') AS BIGINT)
+                             WHEN operation = 'UPDATE'
+                             THEN CAST(coalesce(operationMetrics['numUpdatedRows'][1], '0') AS BIGINT)
+                             ELSE 0 END
+                        - CAST(coalesce(operationMetrics['numDeletedRows'][1], '0') AS BIGINT)
+                   ) AS BIGINT) AS volume
+            {filt}
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "history_update_commits": f"""
+            SELECT partition_id, count(*) AS n_commits,
+                   max(timestamp) AS last_commit_ts
+            {filt}
+            GROUP BY 1 ORDER BY 1
+        """,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _history_oracle_sqls() | {
+        "distinct_users_exact": """
+            SELECT count(DISTINCT user_id) AS distinct_user_id FROM events
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                          AS sum_qty,

@@ -60,6 +60,24 @@ def _row_volume(op: str, metrics: dict) -> int:
     return added - deleted
 
 
+def history_update_commits(history_dir: str | None = None) -> pd.DataFrame:
+    """M1+M2 chain output, directly oracle-checkable: per partition, the
+    count of whitelisted non-empty update commits and the latest commit
+    timestamp (reference: table_history_utils.py:17-28, 121-131)."""
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "partition_id": g["partition_id"].iloc[0],
+            "n_commits": np.int64(len(g)),
+            "last_commit_ts": g["timestamp"].max(),
+        }])
+
+    out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
+    return out.sort_values("partition_id").reset_index(drop=True)
+
+
 def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
     """Per-partition freshness verdicts (F12 dispatcher) over the ingest
     history table."""

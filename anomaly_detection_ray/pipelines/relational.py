@@ -248,8 +248,8 @@ def column_stats_lineitem(sf_dir: str) -> pd.DataFrame:
     }).sort_values("l_returnflag").reset_index(drop=True)
 
 
-def distinct_counts(sf_dir: str) -> pd.DataFrame:
-    """Exact distributed COUNT(DISTINCT …): per-block unique values are
+def exact_distinct_count(ds: ray.data.Dataset, col: str, num_buckets: int = 32) -> int:
+    """Exact distributed COUNT(DISTINCT col): per-block unique values are
     hash-bucketed and shipped as packed array blobs; each reducer counts
     the union of its (disjoint) value-space slice and the per-bucket
     counts sum to the exact answer.  Individual values never become
@@ -258,30 +258,39 @@ def distinct_counts(sf_dir: str) -> pd.DataFrame:
 
     from anomaly_detection_ray.functions.hashing import hash64
 
-    num_buckets = 32
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col]).to_numpy(zero_copy_only=False)
+        b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
+        out_b, out_blob = [], []
+        for bb in np.unique(b):
+            out_b.append(int(bb))
+            out_blob.append(pickle.dumps(u[b == bb]))
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "blob": pa.array(out_blob, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([pickle.loads(x) for x in g["blob"]])
+        return pd.DataFrame({"n": [len(np.unique(vals))]})
+
+    per_bucket = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+                  .groupby("bucket").map_groups(merge, batch_format="pandas")
+                  .to_pandas())
+    return int(per_bucket["n"].sum())
+
+
+def distinct_counts(sf_dir: str) -> pd.DataFrame:
     res = {}
     for col in ("l_partkey", "l_suppkey", "l_orderkey"):
         ds = sf_table(sf_dir, "lineitem", columns=[col])
-
-        def partial(t: pa.Table, c=col) -> pa.Table:
-            u = pc.unique(t[c]).to_numpy(zero_copy_only=False)
-            b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
-            out_b, out_blob = [], []
-            for bb in np.unique(b):
-                out_b.append(int(bb))
-                out_blob.append(pickle.dumps(u[b == bb]))
-            return pa.table({"bucket": pa.array(out_b, pa.int64()),
-                             "blob": pa.array(out_blob, pa.binary())})
-
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            vals = np.concatenate([pickle.loads(x) for x in g["blob"]])
-            return pd.DataFrame({"n": [len(np.unique(vals))]})
-
-        per_bucket = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-                      .groupby("bucket").map_groups(merge, batch_format="pandas")
-                      .to_pandas())
-        res[f"distinct_{col}"] = int(per_bucket["n"].sum())
+        res[f"distinct_{col}"] = exact_distinct_count(ds, col)
     return pd.DataFrame([res])
+
+
+def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users — the oracled twin of the HLL estimate in
+    history.hll_distinct_users (tests tie the two within the HLL bound)."""
+    ds = sf_table(sf_dir, "events", columns=["user_id"])
+    return pd.DataFrame([{"distinct_user_id": exact_distinct_count(ds, "user_id")}])
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:

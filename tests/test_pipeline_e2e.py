@@ -179,6 +179,11 @@ class TestVectorAccuracy:
         exact = duckdb.sql(
             f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'").fetchone()[0]
         assert abs(est - exact) / exact < 0.02
+        # and the distributed exact-distinct twin (the oracled query) agrees
+        from anomaly_detection_ray.pipelines.relational import distinct_users_exact
+
+        ours_exact = distinct_users_exact(sf)["distinct_user_id"].iloc[0]
+        assert ours_exact == exact
 
     def test_quantile_tolerance(self):
         import duckdb

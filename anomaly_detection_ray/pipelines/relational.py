@@ -185,18 +185,30 @@ def status_count_domain(sf_dir: str) -> pd.DataFrame:
 _PRIORITY_RANK = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
 
 
-def multi_key_sort(sf_dir: str) -> pd.DataFrame:
-    """O1/O2: rank column + multi-key global sort + limit."""
+def multi_key_sort(sf_dir: str, limit: int = 100) -> pd.DataFrame:
+    """O1/O2: rank column + multi-key top-N.
+
+    A top-N never needs a global sort (the only avoidable all-to-all in the
+    repo, VERDICT r1 #5): each block keeps its own top ``limit`` rows by
+    (rank, −price, key) — a vectorized dictionary-rank via ``pc.index_in``
+    plus one pandas sort per block — and the driver merges the
+    O(blocks × limit) partial rows.  Same shape as embedding_topk."""
     ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    domain = pa.array(sorted(_PRIORITY_RANK, key=_PRIORITY_RANK.get))
 
-    def add_rank(t: pa.Table) -> pa.Table:
-        pr = pd.Series(t["o_orderpriority"].to_pylist()).map(_PRIORITY_RANK).fillna(9).astype("int64")
-        return t.append_column("priority_rank", pa.array(pr.to_numpy()))
+    def block_topn(t: pa.Table) -> pa.Table:
+        rank = pc.add(pc.fill_null(pc.index_in(t["o_orderpriority"],
+                                               value_set=domain), 8), 1)
+        t = t.append_column("priority_rank", pc.cast(rank, pa.int64()))
+        df = t.to_pandas().sort_values(
+            ["priority_rank", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True]).head(limit)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = (ds.map_batches(add_rank, batch_format="pyarrow")
-           .sort(["priority_rank", "o_totalprice", "o_orderkey"],
-                 descending=[False, True, False])
-           .limit(100).to_pandas())
+    partials = ds.map_batches(block_topn, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(
+        ["priority_rank", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True]).head(limit).copy()
     out["o_totalprice"] = out["o_totalprice"].round(2)
     return out[["o_orderkey", "o_orderpriority", "priority_rank", "o_totalprice"]].reset_index(drop=True)
 

@@ -43,19 +43,79 @@ def add_content_hash(ds: ray.data.Dataset, cols: Sequence[str]) -> ray.data.Data
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str) -> ray.data.Dataset:
+def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
+                num_buckets: int = 32) -> ray.data.Dataset:
     """Keep the row with the smallest ``keep_col`` per content hash
-    (deterministic winner; reference pattern A6 latest-per-key inverted)."""
+    (deterministic winner; reference pattern A6 latest-per-key inverted).
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, keep_col)
+    The shuffle carries ONLY (content_hash, keep_col) pairs, pre-reduced
+    per block and shipped as pickled per-bucket blobs — document payloads
+    never enter an all-to-all (Ray's sort-aggregate costs ~30µs/shuffled
+    row, stages/fused.py).  The reducers emit winners for DUPLICATED
+    hashes only; those (few) winners are broadcast once (``ray.put``) and
+    kept rows are recovered with a vectorized searchsorted filter over the
+    original dataset — a row with a unique content hash passes untouched.
 
-    return (
-        add_content_hash(ds, cols)
-        .groupby(CONTENT_HASH)
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns([CONTENT_HASH])
-    )
+    Partitioning assumption: the duplicate-group winner table is
+    O(duplicate groups) — tiny for real corpora (dup rate ≪ 1).  For a
+    pathologically duplicate-heavy corpus, swap the broadcast for a
+    hash-partitioned semi-join of (content_hash, keep_col) against the
+    winner set (same blob machinery, one more shuffle of key pairs only).
+
+    Assumes ``keep_col`` values are unique per row (an id column): ties on
+    (hash, keep_col) would keep both rows.
+    """
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import combine_columns
+
+    cols = list(cols)
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        h = combine_columns(*[batch[c] for c in cols]).astype(np.int64)
+        keep = batch[keep_col].to_pandas().to_numpy()
+        g = (pd.DataFrame({"h": h, "k": keep})
+             .groupby("h", as_index=False).agg(mn=("k", "min"), cnt=("k", "size")))
+        buckets = (g["h"].to_numpy().astype(np.uint64)
+                   % np.uint64(num_buckets)).astype(np.int64)
+        rows = [(int(b), pickle.dumps(g[buckets == b]))
+                for b in np.unique(buckets)]
+        return pa.table({"bucket": pa.array([r[0] for r in rows], pa.int64()),
+                         "blob": pa.array([r[1] for r in rows], pa.binary())})
+
+    def dup_winners(g: pd.DataFrame) -> pd.DataFrame:
+        cat = pd.concat([pickle.loads(x) for x in g["blob"]], ignore_index=True)
+        gg = cat.groupby("h", as_index=False).agg(mn=("mn", "min"),
+                                                  cnt=("cnt", "sum"))
+        return gg[gg["cnt"] > 1][["h", "mn"]]
+
+    winners = (ds.map_batches(key_partial, batch_format="pyarrow", batch_size=None)
+               .groupby("bucket").map_groups(dup_winners, batch_format="pandas")
+               .to_pandas())
+    if winners.empty or "h" not in winners.columns:
+        dup_h = np.empty(0, dtype=np.int64)
+        dup_k = np.empty(0, dtype=object)
+    else:
+        order = np.argsort(winners["h"].to_numpy())
+        dup_h = winners["h"].to_numpy()[order].astype(np.int64)
+        dup_k = winners["mn"].to_numpy()[order]
+    win_ref = ray.put((dup_h, dup_k))
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        cache = keep_filter.__dict__
+        if "w" not in cache:
+            cache["w"] = ray.get(win_ref)  # once per worker process
+        dh, dk = cache["w"]
+        if dh.size == 0:
+            return batch
+        h = combine_columns(*[batch[c] for c in cols]).astype(np.int64)
+        idx = np.minimum(np.searchsorted(dh, h), dh.size - 1)
+        isdup = dh[idx] == h
+        keep = batch[keep_col].to_pandas().to_numpy()
+        mask = ~isdup | (keep == dk[idx])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_filter, batch_format="pyarrow")
 
 
 def duplicate_key_counts(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:

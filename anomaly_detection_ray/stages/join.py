@@ -50,14 +50,12 @@ def semi_join_broadcast(left: ray.data.Dataset, key: str, key_set_ref,
 
     def filt(batch: pa.Table) -> pa.Table:
         cache = filt.__dict__
-        if "keys" not in cache:
-            cache["keys"] = ray.get(key_set_ref)  # once per worker process
-        keys = cache["keys"]
-        mask = np.fromiter((k in keys for k in batch[key].to_pylist()),
-                           dtype=bool, count=batch.num_rows)
+        if "vs" not in cache:  # once per worker process
+            cache["vs"] = pa.array(list(ray.get(key_set_ref)))
+        mask = pc.is_in(batch[key], value_set=cache["vs"])
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(pc.fill_null(mask, False))
+        return batch.filter(mask)
 
     return left.map_batches(filt, batch_format="pyarrow")
 

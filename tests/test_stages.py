@@ -87,9 +87,23 @@ class TestDedup:
             "text": ["dup"] * 3 + [f"u{i}" for i in range(6)] + ["dup"],
         })
         ds = rd.from_pandas(df)
-        kept = exact_dedup(ds, ["text"], "id").to_pandas()
+        result = exact_dedup(ds, ["text"], "id")
+        # the returned (row-recovery) plan must be shuffle-free: only the
+        # tiny (hash, keep) blob partials go through a groupby, never rows
+        assert "Sort" not in repr(result) and "Aggregate" not in repr(result)
+        kept = result.to_pandas()
         assert len(kept) == 7
         assert kept[kept["text"] == "dup"]["id"].iloc[0] == 0
+
+    def test_exact_dedup_across_blocks(self):
+        # duplicates split across blocks must still resolve to one winner
+        df = pd.DataFrame({
+            "id": range(40),
+            "text": [f"t{i % 8}" for i in range(40)],  # 8 groups of 5 dups
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        kept = exact_dedup(ds, ["text"], "id").to_pandas().sort_values("id")
+        assert kept["id"].tolist() == list(range(8))  # min id per group
 
     def test_duplicate_key_counts(self):
         ds = rd.from_items([{"k": "a"}, {"k": "a"}, {"k": "b"}, {"k": "c"}, {"k": "c"}, {"k": "c"}])

@@ -175,15 +175,19 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
     cand = cand[cand["shared"] >= min_shared]
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
-    # exact verify on the (small) candidate set
-    needed = set(cand["a"]) | set(cand["b"])
-    fmap: dict = {}
-    for b in ds.iter_batches(batch_size=8192, batch_format="pandas"):
-        for i, t in zip(b["doc_id"], b["text"]):
-            if i in needed:
-                fmap[i] = winnow_fingerprints(t or "")
-    ov = [len(np.intersect1d(fmap[a], fmap[b])) / max(min(fmap[a].size, fmap[b].size), 1)
-          for a, b in zip(cand["a"], cand["b"])]
-    cand = cand.assign(overlap=np.round(ov, 4))
-    cand = cand[cand["overlap"] >= min_overlap]
-    return cand.sort_values(["a", "b"]).reset_index(drop=True)
+    # exact verify, distributed: candidate fingerprints via a semi-filtered
+    # task scan, pair overlap as a map over the pair dataset (the corpus
+    # never streams through the driver — VERDICT r1 #3)
+    from anomaly_detection_ray.stages.dedup import gather_doc_features, score_pairs
+
+    fmap = gather_doc_features(ds, "doc_id", "text",
+                               set(cand["a"]) | set(cand["b"]),
+                               winnow_fingerprints)
+
+    def overlap(fa, fb):
+        return (round(len(np.intersect1d(fa, fb)) / max(min(fa.size, fb.size), 1), 4),)
+
+    scored = score_pairs(cand, fmap, overlap, {"overlap": 0})
+    out = cand.merge(scored, on=["a", "b"])
+    out = out[out["overlap"] >= min_overlap]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

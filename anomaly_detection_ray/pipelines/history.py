@@ -175,43 +175,79 @@ def daily_history_volumes(history_dir: str | None = None, eval_ts: float = _EVAL
 # ---------------------------------------------------------------------------
 
 
-def spot_anomalies(sf_dir: str, calibration_frac: float = 0.5) -> pd.DataFrame:
-    """Per event_type SPOT anomalies over the value series in ts order
-    (reference F15/F17 per-entity pattern: one model per group, fit on the
-    head, streamed over the tail)."""
+def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
+    """Per event_type SPOT anomalies, F17 train-broadcast-score shape
+    (reference third_party/common.py:253-333): fit one SPOT model per type
+    on a BOUNDED calibration head (the earliest ``max_train`` events by ts
+    — reference cap MAX_EVENT_TRAINING_POINTS), broadcast the model dict,
+    then score the full stream with a stateless vectorized map — alarm iff
+    value > the fitted extreme quantile z_q.  Post-calibration rows only.
+
+    Per-task memory is one batch regardless of event-type skew; the fused
+    per-group fit+score of round 1 (one worker holds a whole type) is gone.
+    The sequential online-update SPOT (F15) remains available as
+    ``SpotDetector.score_series`` for single-series use."""
+    from anomaly_detection_ray.config import MAX_EVENT_TRAINING_POINTS
+    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_models
+
+    max_train = max_train or MAX_EVENT_TRAINING_POINTS
     ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        vals = g["value"].to_numpy()
-        n0 = max(int(len(vals) * calibration_frac), 20)
-        if len(vals) <= n0:
-            return pd.DataFrame({"event_id": [], "event_type": [], "value": []})
-        det = SpotDetector(q=1e-3).fit(vals[:n0])
-        alarms = det.score_series(vals[n0:])
-        hit = g.iloc[n0:][alarms]
+    def fit(ent, calib: pd.DataFrame):
+        calib = calib.sort_values(["ts", "event_id"])
+        det = SpotDetector(q=1e-3).fit(calib["value"].to_numpy())
+        return {"zq": float(det.zq), "calib_end": calib["ts"].iloc[-1]}
+
+    models = fit_entity_models(ds, "event_type", ["event_id", "ts", "value"],
+                               fit, order_col="ts", max_points=max_train)
+
+    def score(m, grp: pd.DataFrame) -> pd.DataFrame:
+        hit = grp[(grp["ts"] > m["calib_end"]) & (grp["value"] > m["zq"])]
         return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
                              "event_type": hit["event_type"],
                              "value": hit["value"].round(6)})
 
-    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype=object),
+                          "value": pd.Series(dtype="float64")})
+    out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 
-def huber_anomalies(sf_dir: str) -> pd.DataFrame:
-    """Per event_type Huber-deviation anomalies (reference F16: ±5·scale)."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
+    """Per event_type Huber-deviation anomalies (reference F16: ±5·scale),
+    same F17 train-broadcast-score shape as spot_anomalies: robust
+    center/scale fit on a bounded calibration head per type, then a
+    stateless vectorized scoring pass over the full stream."""
+    from anomaly_detection_ray.config import MAX_EVENT_TRAINING_POINTS
+    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_models
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        det = HuberDetector().fit(g["value"].to_numpy())
-        s = det.score(g["value"].to_numpy())
-        hit = g[s != 0]
+    max_train = max_train or MAX_EVENT_TRAINING_POINTS
+    ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def fit(ent, calib: pd.DataFrame):
+        det = HuberDetector().fit(calib["value"].to_numpy())
+        return {"center": det.center, "scale": det.scale, "tol": det.tolerance}
+
+    models = fit_entity_models(ds, "event_type", ["event_id", "ts", "value"],
+                               fit, order_col="ts", max_points=max_train)
+
+    def score(m, grp: pd.DataFrame) -> pd.DataFrame:
+        v = grp["value"].to_numpy()
+        hi = v > m["center"] + m["tol"] * m["scale"]
+        lo = v < m["center"] - m["tol"] * m["scale"]
+        s = hi.astype(np.int8) - lo.astype(np.int8)
+        hit = grp[s != 0]
         return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
                              "event_type": hit["event_type"],
                              "value": hit["value"].round(6),
                              "direction": s[s != 0].astype("int64")})
 
-    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype=object),
+                          "value": pd.Series(dtype="float64"),
+                          "direction": pd.Series(dtype="int64")})
+    out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 

@@ -87,51 +87,109 @@ class _LshBuckets:
         return (signs @ (1 << np.arange(self.bits))).astype(np.int64)
 
 
-def knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
-    """IVF/LSH-bucketed approximate kNN: per query, scan only its LSH
-    bucket (plus Hamming-1 probes), vote on labels.  Rows-only check —
-    tests assert ≥90% agreement with brute force on the small table."""
+_INDEX_SHARDS = 64
+
+
+def build_lsh_index(sf_dir: str, *, bits: int = 12, seed: int = 11,
+                    shards: int = _INDEX_SHARDS) -> str:
+    """Materialize (once) a bucketed on-disk LSH index of the embeddings
+    table: partitioned Parquet keyed by ``shard = bucket % shards`` — one
+    directory per shard, so probing reads only the shards containing probe
+    buckets instead of pinning the whole table in the object store
+    (VERDICT r1 #6).  The write is resumable-output shaped (partitioned
+    dirs + _SUCCESS marker); rebuilding is skipped when the marker exists."""
+    import os
+
+    out = os.path.join("/tmp/adr_index",
+                       f"emb-{os.path.basename(os.path.normpath(sf_dir))}-b{bits}-s{seed}")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    lsh = _LshBuckets()
-    lsh_ref = ray.put(lsh)
+    lsh_ref = ray.put(_LshBuckets(bits=bits, seed=seed))
 
     class Bucketize:
         def __init__(self):
             self.lsh = ray.get(lsh_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            X = _batch_matrix(t)
-            return t.append_column("bucket", pa.array(self.lsh.bucket(X)))
+            b = self.lsh.bucket(_batch_matrix(t))
+            t = t.append_column("bucket", pa.array(b))
+            return t.append_column("shard", pa.array((b % shards).astype(np.int64)))
 
-    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2).materialize()
-    qdf = bucketed.map_batches(
-        lambda t: t.filter(pa.compute.less(t["vec_id"], num_queries)),
-        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    os.makedirs(out, exist_ok=True)
+    (ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+       .write_parquet(out, partition_cols=["shard"]))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
+    """IVF/LSH-bucketed approximate kNN against the written bucketed index:
+    per query, read ONLY the index shards holding its LSH bucket (plus
+    Hamming-1 probes), filter to exact probe buckets, and reduce per-batch
+    top-k partials (the embedding_topk pattern).  Rows-only check — tests
+    assert ≥90% agreement with brute force on the small table."""
+    import os
+
+    lsh = _LshBuckets()
+    idx = build_lsh_index(sf_dir, bits=lsh.bits)
+
+    # queries: pruned row-filtered read of the base table, bucketed locally
+    qdf = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                   filter=pa.compute.field("vec_id") < num_queries
+                   ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qbuckets = lsh.bucket(Q)
 
     probes: set[int] = set()
-    for b in qdf["bucket"]:
+    for b in qbuckets:
         probes.add(int(b))
         for i in range(lsh.bits):
             probes.add(int(b) ^ (1 << i))
+    shard_dirs = sorted({int(b) % _INDEX_SHARDS for b in probes})
+    paths = [os.path.join(d, f)
+             for d in (os.path.join(idx, f"shard={s}") for s in shard_dirs)
+             if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     probe_arr = pa.array(sorted(probes), pa.int64())
-    cand = bucketed.map_batches(
+    cand_ds = ray.data.read_parquet(paths).map_batches(
         lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=probe_arr)),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow")
 
-    CX = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
-    CXn = CX / np.maximum(np.linalg.norm(CX, axis=1, keepdims=True), 1e-12)
+    # distributed per-batch top-k partials against the broadcast queries
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Qn))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        cache = topk_partial.__dict__
+        if "q" not in cache:
+            cache["q"] = ray.get(q_ref)
+        ids_q, Qn_ = cache["q"]
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        return pa.table({
+            "query_id": np.repeat(ids_q, kk),
+            "label": labels[part].T.ravel(),
+            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+        })
+
+    partials = cand_ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    n_cand = int(cand_ds.count())
     rows = []
-    for _, q in qdf.iterrows():
-        v = np.asarray(q["embedding"], dtype=np.float64)
-        vn = v / max(np.linalg.norm(v), 1e-12)
-        sims = CXn @ vn
-        order = np.argsort(-sims)[:k]
-        labels = cand["label"].to_numpy()[order]
-        vals, cnts = np.unique(labels, return_counts=True)
-        top = vals[np.argmax(cnts)]
-        rows.append({"query_id": int(q["vec_id"]), "predicted_label": int(top),
-                     "n_candidates": int(len(cand))})
-    return pd.DataFrame(rows)
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values("score", ascending=False).head(k)
+        vals, cnts = np.unique(top["label"].to_numpy(), return_counts=True)
+        rows.append({"query_id": int(qid),
+                     "predicted_label": int(vals[np.argmax(cnts)]),
+                     "n_candidates": n_cand})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
 def brute_force_knn_labels(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:

@@ -134,10 +134,14 @@ def validate_clips(
     # clip is not an orphan.  Emit clip-key partials from a separate
     # full-table read in that (rare) case.
     fused_with_keys = with_keys and checkpoint is None
+    from anomaly_detection_ray.checks import CheckContext, active_custom_checks
+
+    custom_checks = active_custom_checks(cfg.checks)
     suite_partials = SuitePartials(
         _ALL_STAT_COLS, PARTITION_COL, key_col="clip_id",
         num_buckets=cfg.num_partitions,
-        with_keys=fused_with_keys, checks=cfg.checks)
+        with_keys=fused_with_keys, checks=cfg.checks,
+        custom_checks=custom_checks)
 
     # decode + partials as ONE map operator at the decode batch size:
     # chaining them as separate map_batches with a larger partial batch
@@ -307,6 +311,23 @@ def validate_clips(
                 "detail": str(r["detail"]),
             } for _, r in g.iterrows()}
             verdict_rows.append(_verdict(pid, "drift", st, dbg))
+
+    # ---- registered Check plugins (§2.11, checks.py): driver-side verdict
+    # hooks over the same merged stats/violations the built-ins consume ----
+    if custom_checks:
+        ctx = CheckContext(stats=stats_df, violations=row_violations,
+                           partitions=partitions, config=cfg,
+                           baseline=baseline_stats, _verdict_fn=_verdict)
+        for chk in custom_checks:
+            try:
+                verdict_rows.extend(chk.verdicts(ctx))
+            except Exception as e:  # plugin failure → Unknown row, not a crash
+                verdict_rows.append(_verdict(
+                    "__all__", chk.name, UNKNOWN, {},
+                    error=f"INTERNAL_ERROR: {e}"))
+            chk_viol = row_violations[row_violations["check"] == chk.name]
+            if len(chk_viol):
+                violation_frames.append(chk_viol)
 
     # ---- blast radius on unhealthy partitions (reference F12 attaches it
     # only when the verdict is bad, freshness_utils.py:739-752) -----------

@@ -98,7 +98,8 @@ class SuitePartials:
 
     def __init__(self, stat_columns: Sequence[str], partition_col: str,
                  key_col: str = "clip_id", num_buckets: int = 32,
-                 with_keys: bool = True, checks: Sequence[str] = ()):
+                 with_keys: bool = True, checks: Sequence[str] = (),
+                 custom_checks: Sequence = ()):
         self.stat_columns = list(stat_columns)
         self.partition_col = partition_col
         self.key_col = key_col
@@ -106,6 +107,9 @@ class SuitePartials:
         self.with_keys = with_keys
         self.want_null = "null_rate" in checks
         self.want_audio = "audio_decode" in checks
+        #: Check plugin instances (checks.py §2.11): their row hooks run
+        #: fused in this same pass, violations ride the same blobs
+        self.custom_checks = list(custom_checks)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[tuple] = []
@@ -149,6 +153,8 @@ class SuitePartials:
                     detail = "; ".join(parts)
                 viols.append((r[self.key_col], r[self.partition_col],
                               "audio_decode", detail))
+        for chk in self.custom_checks:
+            viols.extend(chk.row_violations(batch))
         if viols:
             rows.append((KIND_VIOL, "", "", 0, pickle.dumps(viols)))
         return _rows_table(rows)

@@ -275,3 +275,68 @@ class TestEventFreshness:
         # grid anchored at GLOBAL now: the stalled type's ~3-day final
         # latency blows past its forecast bound
         assert df.loc["stalled", "status"] == "Unhealthy"
+
+
+class TestCheckPlugin:
+    """§2.11 plugin surface: a user-defined Check registered by name
+    produces verdict AND violation rows through the fused pass without any
+    change to validate.py (reference BaseChecker/AnomalyDetector shape)."""
+
+    def test_custom_check_end_to_end(self):
+        import pyarrow.compute as pc
+
+        from anomaly_detection_ray.checks import Check, register_check, unregister_check
+
+        class ShortClipCheck(Check):
+            name = "short_clip"
+            max_allowed = 200  # flag clips shorter than 200 ms
+
+            def row_violations(self, batch):
+                bad = batch.filter(pc.less(batch["dur_ms"], self.max_allowed))
+                return [(cid, pid, self.name, f"dur_ms {d} < {self.max_allowed}")
+                        for cid, pid, d in zip(bad["clip_id"].to_pylist(),
+                                               bad["partition_id"].to_pylist(),
+                                               bad["dur_ms"].to_pylist())]
+
+            def verdicts(self, ctx):
+                per_part = (ctx.violations[ctx.violations["check"] == self.name]
+                            .groupby("partition_id").size())
+                return [ctx.verdict(pid, self.name,
+                                    "Unhealthy" if per_part.get(pid, 0) else "Healthy",
+                                    {self.name: {"n_short": str(int(per_part.get(pid, 0)))}})
+                        for pid in ctx.partitions]
+
+        register_check(ShortClipCheck())
+        try:
+            cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                              checks=("schema", "null_rate", "audio_decode",
+                                      "short_clip"))
+            res = validate_clips(clips_path(N), config=cfg)
+        finally:
+            unregister_check("short_clip")
+        mine = res.verdicts[res.verdicts["quality_check_type"] == "short_clip"]
+        assert len(mine) == 4  # one verdict per partition
+        vio = res.violations[res.violations["check"] == "short_clip"]
+        # synth dur_ms ~ N(650, 220) clipped at 8 → some sub-200ms clips exist
+        assert len(vio) > 0
+        assert (mine["status"] == "Unhealthy").any()
+
+    def test_failing_plugin_becomes_unknown_verdict(self):
+        from anomaly_detection_ray.checks import Check, register_check, unregister_check
+
+        class BrokenCheck(Check):
+            name = "broken"
+
+            def verdicts(self, ctx):
+                raise RuntimeError("boom")
+
+        register_check(BrokenCheck())
+        try:
+            cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                              checks=("schema", "broken"))
+            res = validate_clips(clips_path(N), config=cfg)
+        finally:
+            unregister_check("broken")
+        row = res.verdicts[res.verdicts["quality_check_type"] == "broken"]
+        assert len(row) == 1 and row["status"].iloc[0] == "Unknown"
+        assert "boom" in row["error_message"].iloc[0]

@@ -71,6 +71,13 @@ def run(args) -> dict:
                      if len(res.verdicts) else {})
     check_counts = (res.violations.groupby("check").size().to_dict()
                     if len(res.violations) else {})
+    from anomaly_detection_ray.metrics import (
+        build_check_entries,
+        emit_health_checks,
+        file_sink,
+    )
+
+    entries = build_check_entries(res.verdicts, res.violations)
     metrics = {
         "dataset": cfg.dataset,
         "evaluated_at_epoch_s": int(eval_ts),  # epoch-seconds convention (M10)
@@ -80,10 +87,16 @@ def run(args) -> dict:
         "partitions_skipped_resume": already_done,
         "verdict_status_counts": {str(k): int(v) for k, v in status_counts.items()},
         "violation_counts_by_check": {str(k): int(v) for k, v in check_counts.items()},
+        # K2 capped per-check entries (first-100 payloads, 500 ids, 500-char
+        # errors — metrics.py cap semantics, reference freshness_checker.py)
+        "check_entries": entries,
     }
     if args.out:
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
-            json.dump(metrics, f, indent=2)
+            json.dump(metrics, f, indent=2, default=str)
+        # K3: batched health-check emission to the local JSONL sink
+        metrics["health_check_emission"] = emit_health_checks(
+            entries, file_sink(os.path.join(args.out, "health_checks.jsonl")))
     return metrics
 
 

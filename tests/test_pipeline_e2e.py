@@ -215,11 +215,77 @@ class TestJobCli:
         assert os.path.exists(os.path.join(out, "metrics.json"))
         assert metrics["verdict_status_counts"]
 
+        # K2 capped entries present; K3 health checks batched to the sink
+        assert metrics["check_entries"]
+        hc_path = os.path.join(out, "health_checks.jsonl")
+        assert os.path.exists(hc_path)
+        bodies = [json.loads(l) for l in open(hc_path)]
+        n_checks = sum(len(b["health_checks"]) for b in bodies)
+        assert n_checks == len(metrics["check_entries"])
+        assert all(len(b["health_checks"]) <= 10 for b in bodies)
+
         # rerun with the same --out: everything checkpointed → full skip
         main(argv)
         m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert m2["partitions_skipped_resume"] > 0
         assert m2["rows_validated"] == 0
+
+    def test_metric_caps_and_batch_retry(self):
+        """The reference's cap semantics verbatim: first-100 payloads (in
+        violations-first order), ≤500 payload items, 500-char errors,
+        batch-of-10 emission with one retry per batch."""
+        from anomaly_detection_ray.metrics import (
+            HEALTH_CHECK_BATCH_SIZE,
+            MAX_INFOS_WITH_PAYLOAD,
+            NUM_PAYLOAD_ITEMS_LOGGED,
+            build_check_entries,
+            emit_health_checks,
+        )
+
+        n = 130
+        verdicts = pd.DataFrame({
+            "partition_id": [f"p{i:04d}" for i in range(n)],
+            "quality_check_type": ["uniqueness"] * n,
+            "status": ["Unhealthy"] * n,
+            "evaluated_at": [pd.Timestamp("2025-08-01")] * n,
+            "error_message": ["x" * 1000] + [None] * (n - 1),
+            "lineage_id": [f"lid{i}" for i in range(n)],
+        })
+        violations = pd.DataFrame({
+            "partition_id": ["p0000"] * 800,
+            "check": ["uniqueness"] * 800,
+            "clip_id": [f"c{i}" for i in range(800)],
+            "detail": [""] * 800,
+        })
+        entries = build_check_entries(verdicts, violations)
+        assert len(entries) == n
+        with_payload = [e for e in entries if "violation_clip_ids" in e]
+        assert len(with_payload) == MAX_INFOS_WITH_PAYLOAD
+        assert len(entries[0]["violation_clip_ids"]) == NUM_PAYLOAD_ITEMS_LOGGED
+        assert len(entries[0]["error_message"]) == 500
+
+        calls = []
+
+        def flaky_put(body):
+            calls.append(len(body["health_checks"]))
+            if len(calls) == 1:
+                raise ConnectionError("transient")  # retried once, succeeds
+            if len(calls) == 5:
+                raise ConnectionError("hard")  # second batch attempt...
+
+        summary = emit_health_checks(entries, flaky_put)
+        assert summary["batches_total"] == 13
+        assert all(c <= HEALTH_CHECK_BATCH_SIZE for c in calls)
+        # batch 0 failed once then succeeded on its retry
+        assert summary["checks_sent"] == n
+        assert summary["failed_batches"] == []
+
+        def dead_put(body):
+            raise ConnectionError("down")
+
+        summary2 = emit_health_checks(entries[:25], dead_put)
+        assert summary2["checks_sent"] == 0
+        assert summary2["failed_batches"] == [0, 1, 2]
 
 
 class TestBlastRadiusWiring:

@@ -143,6 +143,10 @@ class SuiteConfig:
     #: per-table constant-threshold overrides (reference:
     #: freshness_checker.py:63-65 per-table threshold overrides)
     null_rate_threshold: float = 0.005
+    #: user-configured partition skip list (reference tables_to_skip,
+    #: freshness_checker.py — skipped partitions get a Skipped verdict with
+    #: USER_CONFIGURED_SKIP and never enter the pass)
+    partitions_to_skip: tuple = ()
     uniqueness_key: str = "clip_id"
     drift_ks_threshold: float = 0.15
     drift_chi2_pvalue: float = 0.01
@@ -166,14 +170,16 @@ class SuiteConfig:
     def to_dict(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
         d["checks"] = list(self.checks)
+        d["partitions_to_skip"] = list(self.partitions_to_skip)
         return d
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "SuiteConfig":
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        if "checks" in kwargs:
-            kwargs["checks"] = tuple(kwargs["checks"])
+        for tup in ("checks", "partitions_to_skip"):
+            if tup in kwargs:
+                kwargs[tup] = tuple(kwargs[tup])
         return cls(**kwargs)
 
     @classmethod
@@ -203,3 +209,18 @@ class ForecastConfig:
     min_points_before_synth: int = MIN_TRAINING_POINTS_BEFORE_SYNTH
     use_synthetic_data: bool = True
     max_grace_period_minutes: int = -1  # testing hook (model_config.py:14-15)
+
+    @classmethod
+    def from_env(cls) -> "ForecastConfig":
+        """Overrides from the ``forecast`` sub-object of the ``ADR_CONFIG``
+        env JSON (the reference's LHM_AD_MODEL_CONFIG pattern applied to
+        model knobs, model_config.py:112-131) — threads the
+        max_grace_period_minutes testing hook end-to-end."""
+        cfg = cls()
+        raw = os.environ.get("ADR_CONFIG")
+        if raw:
+            d = json.loads(raw).get("forecast", {})
+            known = {f.name for f in dataclasses.fields(cls)}
+            cfg = cls(**{**dataclasses.asdict(cfg),
+                         **{k: v for k, v in d.items() if k in known}})
+        return cfg

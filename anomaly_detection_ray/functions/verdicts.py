@@ -56,12 +56,18 @@ SKIPPED = "Skipped"
 FRESHNESS_STATUS_ORDER = [STALE, FRESH, UNKNOWN, SKIPPED]
 HEALTH_STATUS_ORDER = [UNHEALTHY, HEALTHY, UNKNOWN, SKIPPED]
 
-#: error codes (subset of the reference's 11-value taxonomy, errors.py:5-16)
-ERR_NOT_ENOUGH_UPDATE_OP = "NOT_ENOUGH_UPDATE_OPERATIONS"
-ERR_NOT_ENOUGH_HISTORY = "NOT_ENOUGH_TABLE_HISTORY"
-ERR_FAILED_TO_FIT = "FAILED_TO_FIT_MODEL"
-ERR_INTERNAL = "INTERNAL_ERROR"
-ERR_DECODE = "PAYLOAD_DECODE_ERROR"
+#: error codes — full 11-code taxonomy in errors.py (reference errors.py:5-16)
+from anomaly_detection_ray.errors import (  # noqa: E402
+    FAILED_TO_PREDICT as ERR_FAILED_TO_PREDICT,
+    NO_UPDATES_IN_TABLE_HISTORY as ERR_NO_UPDATES,
+)
+from anomaly_detection_ray.errors import (  # noqa: E402
+    FAILED_TO_FIT_MODEL as ERR_FAILED_TO_FIT,
+    INTERNAL_ERROR as ERR_INTERNAL,
+    NOT_ENOUGH_TABLE_HISTORY as ERR_NOT_ENOUGH_HISTORY,
+    NOT_ENOUGH_UPDATE_OP as ERR_NOT_ENOUGH_UPDATE_OP,
+    PAYLOAD_DECODE_ERROR as ERR_DECODE,
+)
 
 
 def status_rank(status: str, order: list[str] = HEALTH_STATUS_ORDER) -> int:
@@ -146,7 +152,8 @@ def check_commit_freshness(
     """
     ts = np.sort(np.asarray(commit_ts, dtype=np.float64))
     if ts.size == 0:
-        return FreshnessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
+        # zero update ops is its own code (reference NO_UPDATES_IN_TABLE_HISTORY)
+        return FreshnessVerdict(UNKNOWN, error_code=ERR_NO_UPDATES)
     last = float(ts[-1])
 
     # F10: static-table short-circuit (Fresh, no prediction).  Runs FIRST,
@@ -178,10 +185,14 @@ def check_commit_freshness(
     durations = np.diff(ts)[-MAX_COMMIT_TRAINING_POINTS:]
     try:
         model = fit_ar(durations)
-        res = model.predict_next(num_std)
     except Exception:
         return FreshnessVerdict(UNKNOWN, last_update_ts=last,
                                 error_code=ERR_FAILED_TO_FIT)
+    try:
+        res = model.predict_next(num_std)
+    except Exception:  # fit ok, prediction failed → its own code (reference)
+        return FreshnessVerdict(UNKNOWN, last_update_ts=last,
+                                error_code=ERR_FAILED_TO_PREDICT)
     predicted = max(res.forecast, res.min_val if res.forecast <= 0 else res.forecast)
     upper = last + max(res.upper, 0.0)
 
@@ -213,6 +224,7 @@ def check_event_freshness(
     actual_latency_seconds: float,
     *,
     constant_threshold_seconds: Optional[float] = None,
+    max_grace_period_minutes: int = -1,
     num_std: float = NUM_STD_FOR_RESIDUALS,
 ) -> FreshnessVerdict:
     """Event-latency freshness (reference F7/F9, freshness_utils.py:350-428,
@@ -233,6 +245,9 @@ def check_event_freshness(
     except Exception:
         return FreshnessVerdict(UNKNOWN, error_code=ERR_FAILED_TO_FIT)
     grace = event_grace_seconds(lat[:-1])
+    if max_grace_period_minutes >= 0:  # testing hook, applied to the event
+        grace = min(grace, max_grace_period_minutes * 60.0)  # path too
+        # (reference freshness_utils.py:585-593)
     # Event path is ADDITIVE: grace goes on top of the CI upper bound
     # (freshness_utils.py:594-596 event_predicted_upper_bound_latency_seconds
     # = int(upper_CI + grace)) — unlike the commit path's max(CI, pred+grace).
@@ -349,8 +364,11 @@ def backtest_commit_freshness(
         row = {"eval_ts": float(ep), "status": UNKNOWN,
                "predicted_upper_bound_ts": None, "predicted_next_ts": None,
                "actual_next_ts": None, "abs_error_seconds": None,
-               "warm": model is not None}
+               "warm": model is not None, "error_code": None}
         if hist.size < 2:
+            from anomaly_detection_ray.errors import NOT_ENOUGH_UPDATE_OP_BACKTESTING
+
+            row["error_code"] = NOT_ENOUGH_UPDATE_OP_BACKTESTING
             out.append(row)
             continue
         window = hist[hist >= ep - lookback_seconds]

@@ -78,9 +78,15 @@ def history_update_commits(history_dir: str | None = None) -> pd.DataFrame:
     return out.sort_values("partition_id").reset_index(drop=True)
 
 
-def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
+def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS,
+                       fcfg=None) -> pd.DataFrame:
     """Per-partition freshness verdicts (F12 dispatcher) over the ingest
-    history table."""
+    history table.  ``fcfg`` (default: ``ForecastConfig.from_env()``)
+    threads the model knobs — notably the ``max_grace_period_minutes``
+    testing hook — from the ADR_CONFIG env JSON to every verdict."""
+    from anomaly_detection_ray.config import ForecastConfig
+
+    fcfg = fcfg or ForecastConfig.from_env()
     path = history_dir or history_path()
     ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
 
@@ -89,7 +95,10 @@ def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS
         ts = (g["timestamp"].astype("int64").to_numpy() / 1e6)
         ts = np.sort(ts)[-MAX_HISTORY_COMMITS:]
         try:
-            v = check_commit_freshness(ts, eval_ts)
+            v = check_commit_freshness(
+                ts, eval_ts,
+                max_grace_period_minutes=fcfg.max_grace_period_minutes,
+                num_std=fcfg.num_std_for_residuals)
             return pd.DataFrame([{
                 "partition_id": pid,
                 "status": v.status,
@@ -330,10 +339,13 @@ def backtest_freshness(
             rows = backtest_commit_freshness(ts, grid, retrain_every=retrain_every)
             q = backtest_quality(rows)
         except Exception as e:  # error funnel: per-partition, never job
+            from anomaly_detection_ray.errors import classify_exception
+
             return pd.DataFrame([{
                 "partition_id": pid, "eval_ts": None, "status": "Unknown",
                 "warm": False, "n_scored": 0, "rmse_seconds": None,
-                "smape": None, "error": str(e)[:100],
+                "smape": None, "error_code": classify_exception(e),
+                "error": str(e)[:100],
             }])
         df = pd.DataFrame(rows)
         df["partition_id"] = pid
@@ -342,7 +354,7 @@ def backtest_freshness(
         df["smape"] = q["smape"]
         df["error"] = None
         return df[["partition_id", "eval_ts", "status", "warm",
-                   "n_scored", "rmse_seconds", "smape", "error"]]
+                   "n_scored", "rmse_seconds", "smape", "error_code", "error"]]
 
     out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
     return out.sort_values(["partition_id", "eval_ts"]).reset_index(drop=True)
@@ -355,13 +367,16 @@ def event_freshness_verdicts(
     sample_interval_s: float = 3600.0,
 ) -> pd.DataFrame:
     """F7 event-latency freshness over the events table: per event_type,
+    model knobs threaded from ADR_CONFIG (``ForecastConfig.from_env()``);
     sample hourly eval points (≥1h apart, newest kept — the reference's
     S3 sampling rule, freshness_utils.py:234-255), latency at each point =
     eval_time − max(event_ts ≤ eval_time) via one searchsorted over the
     sorted series (the as-of grouped max, SURVEY §2.1 series C), then
     train on all but the last latency and verdict the last (F7)."""
+    from anomaly_detection_ray.config import ForecastConfig
     from anomaly_detection_ray.functions.verdicts import check_event_freshness
 
+    fcfg = ForecastConfig.from_env()
     ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
     # anchor the eval grid at the DATASET's latest event ("now"), not each
     # type's own last event — a fully-stalled type must accumulate latency
@@ -391,7 +406,10 @@ def event_freshness_verdicts(
         lat = grid - ts[idx]
         # check_event_freshness trains on series[:-1] (the reference's
         # "all but last"), so the actual joins the series as its tail
-        v = check_event_freshness(np.append(lat, actual), float(actual))
+        v = check_event_freshness(
+            np.append(lat, actual), float(actual),
+            max_grace_period_minutes=fcfg.max_grace_period_minutes,
+            num_std=fcfg.num_std_for_residuals)
         return pd.DataFrame([{
             "event_type": et,
             "status": v.status,

@@ -42,6 +42,7 @@ from anomaly_detection_ray.functions.hashing import bucket_of
 from anomaly_detection_ray.functions.verdicts import (
     HEALTHY,
     HEALTH_STATUS_ORDER,
+    SKIPPED,
     UNHEALTHY,
     UNKNOWN,
     status_rank,
@@ -117,6 +118,11 @@ def validate_clips(
     if checkpoint is not None and checkpoint.completed:
         ds = ds.map_batches(pending_partition_filter(checkpoint.completed),
                             batch_format="pyarrow")
+    if cfg.partitions_to_skip:
+        # user-configured skip (reference tables_to_skip): rows never enter
+        # the pass; Skipped verdicts are emitted below
+        ds = ds.map_batches(pending_partition_filter(set(cfg.partitions_to_skip)),
+                            batch_format="pyarrow")
 
     # ---- single-pass fused suite -----------------------------------------
     # decode actors → SuitePartials in the SAME streaming execution: row
@@ -191,6 +197,19 @@ def validate_clips(
     verdict_rows.append(
         _verdict("__all__", "schema", HEALTHY if schema_ok else UNHEALTHY,
                  {"schema": {"detail": schema_detail}}))
+
+    # ---- user-configured skips (reference USER_CONFIGURED_SKIP) ----------
+    if cfg.partitions_to_skip:
+        from anomaly_detection_ray.errors import (
+            ERROR_CODE_TO_MESSAGE,
+            USER_CONFIGURED_SKIP,
+        )
+
+        for pid in sorted(cfg.partitions_to_skip):
+            verdict_rows.append(_verdict(
+                pid, "skip", SKIPPED,
+                {"skip": {"error_code": USER_CONFIGURED_SKIP}},
+                error=ERROR_CODE_TO_MESSAGE[USER_CONFIGURED_SKIP]))
 
     # ---- null-rate / completeness check ----------------------------------
     if "null_rate" in cfg.checks:
@@ -338,10 +357,22 @@ def validate_clips(
         for r in verdict_rows:
             if r["status"] == UNHEALTHY:
                 pid = r[PARTITION_COL]
-                if pid not in br_cache:
-                    br_cache[pid] = get_blast_radius(
-                        pid, lineage, popularity or {}).as_struct()
-                r["downstream_impact"] = br_cache[pid]
+                try:
+                    if pid not in br_cache:
+                        br_cache[pid] = get_blast_radius(
+                            pid, lineage, popularity or {}).as_struct()
+                    r["downstream_impact"] = br_cache[pid]
+                except Exception as e:
+                    # keep the health status, surface the failure (reference
+                    # BLAST_RADIUS_COMPUTATION_ERROR, freshness_utils.py:739-752)
+                    from anomaly_detection_ray.errors import (
+                        BLAST_RADIUS_COMPUTATION_ERROR,
+                        ERROR_CODE_TO_MESSAGE,
+                    )
+
+                    r["error_message"] = (
+                        f"{ERROR_CODE_TO_MESSAGE[BLAST_RADIUS_COMPUTATION_ERROR]}"
+                        f": {e}")
 
     # ---- assemble + reference ordering -----------------------------------
     verdicts = pd.DataFrame(verdict_rows)

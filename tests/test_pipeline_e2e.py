@@ -406,3 +406,99 @@ class TestCheckPlugin:
         row = res.verdicts[res.verdicts["quality_check_type"] == "broken"]
         assert len(row) == 1 and row["status"].iloc[0] == "Unknown"
         assert "boom" in row["error_message"].iloc[0]
+
+
+class TestForecastConfigThreading:
+    def test_adr_config_grace_override_flips_verdict(self, tmp_path, monkeypatch):
+        """VERDICT r1 #10 done-bar: overriding max_grace_period_minutes via
+        the ADR_CONFIG env JSON flips a freshness verdict end-to-end."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # 10-min cadence with tiny jitter, last commit 20 min before eval:
+        # default grace floor (15 min → grace 15-min < commit floor? grace =
+        # max(600, 900) = 900s) keeps it Healthy; grace capped to 0 leaves
+        # only the tight CI → Unhealthy.
+        eval_ts = 1_754_000_000.0
+        rng = np.random.default_rng(5)
+        gaps = rng.normal(600, 5, 300)
+        ts = (eval_ts - 1200.0) - (np.cumsum(gaps)[-1] - np.cumsum(gaps))
+        metrics = [("numOutputRows", "100"), ("numFiles", "1"),
+                   ("numOutputBytes", "1000"), ("numDeletedRows", "0")]
+        t = pa.table({
+            "partition_id": pa.array(["p0"] * len(ts)),
+            "timestamp": pa.array((ts * 1e6).astype("int64"), pa.timestamp("us")),
+            "operation": pa.array(["WRITE"] * len(ts)),
+            "operationMetrics": pa.array([metrics] * len(ts),
+                                         pa.map_(pa.string(), pa.string())),
+        })
+        d = tmp_path / "hist"
+        d.mkdir()
+        pq.write_table(t, str(d / "history.parquet"))
+
+        monkeypatch.delenv("ADR_CONFIG", raising=False)
+        base = history.freshness_verdicts(str(d), eval_ts=eval_ts)
+        assert base["status"].iloc[0] == "Healthy"
+
+        monkeypatch.setenv("ADR_CONFIG",
+                           '{"forecast": {"max_grace_period_minutes": 0}}')
+        tight = history.freshness_verdicts(str(d), eval_ts=eval_ts)
+        assert tight["status"].iloc[0] == "Unhealthy"
+
+
+class TestErrorTaxonomyAndSkips:
+    def test_skip_list_produces_skipped_verdicts(self):
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          checks=("schema", "null_rate"),
+                          partitions_to_skip=("p0001", "p0002"))
+        res = validate_clips(clips_path(N), config=cfg)
+        sk = res.verdicts[res.verdicts["status"] == "Skipped"]
+        assert sorted(sk["partition_id"]) == ["p0001", "p0002"]
+        assert all("skip table" in m for m in sk["error_message"])
+        # skipped partitions never entered the pass
+        assert set(res.stats["partition_id"]) == {"p0000", "p0003"}
+        # config round-trips the skip list
+        assert SuiteConfig.from_dict(cfg.to_dict()).partitions_to_skip == \
+            ("p0001", "p0002")
+
+    def test_error_codes(self):
+        from anomaly_detection_ray import errors
+        from anomaly_detection_ray.functions.verdicts import (
+            backtest_commit_freshness,
+            check_commit_freshness,
+        )
+
+        # zero updates → NO_UPDATES_IN_TABLE_HISTORY (not NOT_ENOUGH)
+        v = check_commit_freshness(np.array([]), 1e9)
+        assert v.error_code == errors.NO_UPDATES_IN_TABLE_HISTORY
+        # backtest with <2 points carries the backtesting-specific code
+        rows = backtest_commit_freshness(np.array([1_700_000_000.0]),
+                                         np.array([1_700_100_000.0]))
+        assert rows[0]["error_code"] == errors.NOT_ENOUGH_UPDATE_OP_BACKTESTING
+        # exception classification
+        assert errors.classify_exception(PermissionError("x")) == errors.PERMISSION_DENIED
+        assert errors.classify_exception(ValueError("x")) == errors.USER_ERROR
+        assert errors.classify_exception(RuntimeError("x")) == errors.INTERNAL_ERROR
+        assert errors.match_error_message_to_code(
+            errors.ERROR_CODE_TO_MESSAGE[errors.FAILED_TO_PREDICT]) == \
+            errors.FAILED_TO_PREDICT
+
+    def test_blast_radius_failure_keeps_status(self):
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          checks=("null_rate", "uniqueness", "audio_decode"))
+        # lineage with a poisoned entry: get_blast_radius raises on access
+        class Boom(dict):
+            def get(self, k, d=None):
+                raise RuntimeError("lineage service down")
+
+            def __getitem__(self, k):
+                raise RuntimeError("lineage service down")
+
+            def __contains__(self, k):
+                raise RuntimeError("lineage service down")
+
+        res = validate_clips(clips_path(N), transcripts_path(N), config=cfg,
+                             lineage=Boom())
+        bad = res.verdicts[res.verdicts["status"] == "Unhealthy"]
+        assert len(bad) > 0  # status kept
+        assert any(m and "blast radius" in m for m in bad["error_message"])

@@ -97,6 +97,10 @@ def run(args) -> dict:
         # K3: batched health-check emission to the local JSONL sink
         metrics["health_check_emission"] = emit_health_checks(
             entries, file_sink(os.path.join(args.out, "health_checks.jsonl")))
+        # K4: one quality-overview dashboard per output root, create-once
+        from anomaly_detection_ray.visualization import create_dashboard_if_not_exists
+
+        metrics["dashboard"] = create_dashboard_if_not_exists(args.out, res.verdicts)
     return metrics
 
 

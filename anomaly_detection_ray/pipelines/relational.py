@@ -334,8 +334,12 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
 
 
 def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
-    """Hash-partitioned large join: lineitem ⋈ orders on the order key,
-    then pre-aggregated grouped revenue."""
+    """Hash-partitioned large join: lineitem ⋈ orders on the order key —
+    with the lineitem side PRE-AGGREGATED per order key through the blob
+    combiner first (one partial row per distinct l_orderkey instead of one
+    per lineitem row, ~4× fewer probe rows into the shuffle join;
+    VERDICT r1 performance audit #2).  n_items still counts lineitem ROWS
+    (the pre-agg carries the per-key row count through the join)."""
     li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -345,14 +349,22 @@ def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
                                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
         })
 
-    li = li.map_batches(rev, batch_format="pyarrow")
+    per_key = grouped_sums(li.map_batches(rev, batch_format="pyarrow"),
+                           ["o_orderkey"], ["revenue"], count_alias="n_rows")
     orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li.join(orders, "inner", num_partitions=16, on=("o_orderkey",))
-    agg = grouped_sums(joined, ["o_orderstatus"], ["revenue"]).to_pandas()
+    joined = per_key.join(orders, "inner", num_partitions=16, on=("o_orderkey",))
+
+    def status_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderstatus", observed=True)
+        return g.agg(revenue=("revenue", "sum"),
+                     n_rows=("n_rows", "sum")).reset_index()
+
+    agg = (joined.map_batches(status_partial, batch_format="pandas")
+           .to_pandas().groupby("o_orderstatus", as_index=False).sum())
     return pd.DataFrame({
         "o_orderstatus": agg["o_orderstatus"],
         "revenue": agg["revenue"].round(4),
-        "n_items": agg["__cnt__"].astype("int64"),
+        "n_items": agg["n_rows"].astype("int64"),
     }).sort_values("o_orderstatus").reset_index(drop=True)
 
 

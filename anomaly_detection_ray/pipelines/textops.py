@@ -155,11 +155,21 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
         from collections import Counter
 
         c: Counter = Counter()
+        dropped = 0
         for _, grp in sub.groupby("fp"):
-            docs = sorted(grp["doc"].unique().tolist())[:max_docs_per_fp]
+            docs = sorted(grp["doc"].unique().tolist())
+            dropped += max(len(docs) - max_docs_per_fp, 0)
+            docs = docs[:max_docs_per_fp]
             for i, a in enumerate(docs):
                 for b in docs[i + 1:]:
                     c[(a, b)] += 1
+        if dropped:  # no silent caps: surface truncated fingerprint mass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnow fingerprint cap (%d) dropped %d doc slots from hot "
+                "fingerprints — shared counts are floors for those",
+                max_docs_per_fp, dropped)
         if not c:
             return pd.DataFrame({"a": [], "b": [], "shared": []})
         ks = list(c)

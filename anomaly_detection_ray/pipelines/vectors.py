@@ -225,6 +225,12 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if len(g) > 256:  # no silent caps: surface truncated bucket mass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket cap (256) dropped %d vectors — "
+                "near-dup recall is reduced for this bucket", len(g) - 256)
         g = g.sort_values("vec_id").head(256)
         X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -285,15 +285,24 @@ def minhash_candidate_pairs(
                          "blob": pa.array(out_blob, pa.binary())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         parts = [pickle.loads(x) for x in g["blob"]]
         sub = pd.DataFrame({
             "bh": np.concatenate([p[0] for p in parts]),
             "doc_id": np.concatenate([p[1] for p in parts]),
         })
         out = []
+        dropped = 0
         for _, grp in sub.groupby("bh"):
-            ids = sorted(grp["doc_id"].unique().tolist())[:max_bucket]
+            ids = sorted(grp["doc_id"].unique().tolist())
+            dropped += max(len(ids) - max_bucket, 0)
+            ids = ids[:max_bucket]
             out.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+        if dropped:  # no silent caps: surface truncated candidate mass
+            logging.getLogger(__name__).warning(
+                "minhash LSH bucket cap (%d) dropped %d docs from oversized "
+                "buckets — near-dup recall is reduced for those", max_bucket, dropped)
         return pd.DataFrame(out, columns=["a", "b"])
 
     allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -413,10 +422,12 @@ def simhash_near_duplicates(
         hs = np.concatenate([p[1] for p in parts])
         bv = np.concatenate([p[2] for p in parts])
         rows = []
+        dropped = 0
         sub = pd.DataFrame({"doc_id": ids, "h": hs, "bv": bv})
         for _, grp in sub.groupby("bv"):
             if len(grp) < 2:
                 continue
+            dropped += max(len(grp) - 64, 0)
             grp = grp.sort_values("doc_id").head(64)
             gids = grp["doc_id"].to_numpy()
             ghs = grp["h"].to_numpy().astype(np.uint64)
@@ -424,6 +435,12 @@ def simhash_near_duplicates(
                 d = hamming64(ghs[i + 1:], ghs[i])
                 for j in np.flatnonzero(d <= max_hamming):
                     rows.append((gids[i], gids[i + 1 + j], int(d[j])))
+        if dropped:  # no silent caps (VERDICT r1): surface truncated mass
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash band-bucket cap (64) dropped %d docs from oversized "
+                "buckets — near-dup recall is reduced for those", dropped)
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
     allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -47,26 +47,29 @@ def embedding_topk(sf_dir: str, num_queries: int = _NUM_QUERIES, k: int = _TOP_K
     qids = qdf["vec_id"].to_numpy()
     q_ref = ray.put((qids, Qn))
 
-    class TopKPartial:
-        def __init__(self):
-            self.qids, self.Qn = ray.get(q_ref)
+    def topk_partial(t: pa.Table) -> pa.Table:
+        # stateless tasks, not a fixed actor pool: the only state is the
+        # broadcast query matrix, fetched once per worker process via the
+        # cached ray.get (a pinned pool of 2 was the stage's bottleneck)
+        cache = topk_partial.__dict__
+        if "q" not in cache:
+            cache["q"] = ray.get(q_ref)
+        qids_, Qn_ = cache["q"]
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T  # (batch, queries)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = {
+            "query_id": np.repeat(qids_, kk),
+            "vec_id": ids[part].T.ravel(),
+            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+        }
+        return pa.table(rows)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _batch_matrix(t)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            sims = Xn @ self.Qn.T  # (batch, queries)
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            kk = min(k, sims.shape[0])
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            rows = {
-                "query_id": np.repeat(self.qids, kk),
-                "vec_id": ids[part].T.ravel(),
-                "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
-            }
-            return pa.table(rows)
-
-    partials = ds.map_batches(TopKPartial, batch_format="pyarrow",
-                              batch_size=4096, concurrency=2).to_pandas()
+    partials = ds.map_batches(topk_partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
     out = (partials.sort_values(["query_id", "score", "vec_id"],
                                 ascending=[True, False, True])
            .groupby("query_id", observed=True).head(k).copy())
@@ -108,17 +111,16 @@ def build_lsh_index(sf_dir: str, *, bits: int = 12, seed: int = 11,
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     lsh_ref = ray.put(_LshBuckets(bits=bits, seed=seed))
 
-    class Bucketize:
-        def __init__(self):
-            self.lsh = ray.get(lsh_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            b = self.lsh.bucket(_batch_matrix(t))
-            t = t.append_column("bucket", pa.array(b))
-            return t.append_column("shard", pa.array((b % shards).astype(np.int64)))
+    def bucketize(t: pa.Table) -> pa.Table:
+        cache = bucketize.__dict__
+        if "lsh" not in cache:
+            cache["lsh"] = ray.get(lsh_ref)  # once per worker process
+        b = cache["lsh"].bucket(_batch_matrix(t))
+        t = t.append_column("bucket", pa.array(b))
+        return t.append_column("shard", pa.array((b % shards).astype(np.int64)))
 
     os.makedirs(out, exist_ok=True)
-    (ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    (ds.map_batches(bucketize, batch_format="pyarrow")
        .write_parquet(out, partition_cols=["shard"]))
     with open(done, "w") as f:
         f.write("ok")
@@ -211,16 +213,13 @@ def brute_force_knn_labels(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
 def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    lsh = _LshBuckets(bits=8)
-    lsh_ref = ray.put(lsh)
+    lsh_ref = ray.put(_LshBuckets(bits=8))
 
-    class Bucketize:
-        def __init__(self):
-            self.lsh = ray.get(lsh_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _batch_matrix(t)
-            return t.append_column("bucket", pa.array(self.lsh.bucket(X)))
+    def bucketize(t: pa.Table) -> pa.Table:
+        cache = bucketize.__dict__
+        if "lsh" not in cache:
+            cache["lsh"] = ray.get(lsh_ref)  # once per worker process
+        return t.append_column("bucket", pa.array(cache["lsh"].bucket(_batch_matrix(t))))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -241,7 +240,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
         return pd.DataFrame({"a": ids[iu[0][mask]], "b": ids[iu[1][mask]],
                              "cosine": np.round(S[iu][mask], 5)})
 
-    out = (ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
            .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas())
     if out.empty:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})

@@ -80,7 +80,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from anomaly_detection_ray.pipelines import history, media, relational, textops, vectors
+    from anomaly_detection_ray.pipelines import (
+        history,
+        media,
+        relational,
+        textops,
+        vectors,
+        windows,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # relational operator coverage (SQL-oracled)
@@ -99,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_user_event_pairs": relational.duplicate_user_event_pairs,
         "hourly_window": relational.hourly_window,
         "asof_latest_value": relational.asof_latest_value,
+        # event-time window operators (streaming-window family)
+        "session_windows": windows.session_windows,
+        "sliding_window_counts": windows.sliding_window_counts,
+        "asof_join_events": windows.asof_join_events,
         "props_k_by_type": relational.props_k_by_type,
         "exact_dedup_docs": relational.exact_dedup_docs,
         # text ops
@@ -113,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors
         "embedding_topk": vectors.embedding_topk,
         "knn_label_counts": vectors.knn_label_counts,
+        "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
         # sketches / detectors / drift
         "hll_distinct_users": history.hll_distinct_users,
@@ -299,6 +311,64 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
                   FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
             WHERE rn = 1 ORDER BY user_id
+        """,
+        "session_windows": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "sliding_window_counts": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*) AS c, sum(value) AS v
+                FROM events GROUP BY 1, 2
+            ), hours AS (
+                SELECT event_type, unnest(generate_series(min(h), max(h),
+                                          INTERVAL 1 HOUR)) AS h
+                FROM hourly GROUP BY event_type
+            ), dense AS (
+                SELECT hours.event_type, hours.h,
+                       coalesce(c, 0) AS c, coalesce(v, 0) AS v
+                FROM hours LEFT JOIN hourly USING (event_type, h)
+            )
+            SELECT * FROM (
+                SELECT event_type, h AS hour,
+                       CAST(sum(c) OVER w AS BIGINT) AS n_events,
+                       round(sum(v) OVER w, 2) AS sum_value
+                FROM dense
+                WINDOW w AS (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ) WHERE n_events > 0
+            ORDER BY event_type, hour
+        """,
+        "asof_join_events": """
+            WITH probe AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), build AS (
+                SELECT user_id, ts, arg_max(value, event_id) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT probe.event_id, probe.user_id, probe.ts,
+                   build.ts AS last_build_ts,
+                   round(build.value, 6) AS last_build_value
+            FROM probe ASOF LEFT JOIN build
+              ON probe.user_id = build.user_id AND probe.ts >= build.ts
+            ORDER BY probe.event_id
         """,
         "props_k_by_type": """
             SELECT event_type,

@@ -194,6 +194,116 @@ def knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.Data
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def build_ivf_index(sf_dir: str, *, n_centroids: int = 64, seed: int = 7,
+                    sample_rows: int = 4096, iters: int = 10) -> tuple[str, np.ndarray]:
+    """IVF index: a k-means coarse quantizer trained on a bounded sample
+    (Lloyd iterations in numpy — the centroid matrix IS the model and is
+    tiny), then ONE distributed pass assigns every vector to its nearest
+    centroid (cosine) and writes centroid-partitioned Parquet, resumable
+    like the LSH index.  Returns (index_dir, centroid matrix).
+
+    Scale notes: training reads ``sample_rows`` rows only; assignment is a
+    per-batch matmul against the broadcast centroids; probes read only
+    ``nprobe`` centroid directories out of ``n_centroids``."""
+    import os
+
+    out = os.path.join("/tmp/adr_index",
+                       f"ivf-{os.path.basename(os.path.normpath(sf_dir))}"
+                       f"-c{n_centroids}-s{seed}")
+    cpath = os.path.join(out, "_centroids.npy")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out, np.load(cpath)
+
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    sample = np.stack(ds.limit(sample_rows).to_pandas()["embedding"].to_numpy()
+                      ).astype(np.float64)
+    Xs = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    k_ = min(n_centroids, len(Xs))
+    rng = np.random.default_rng(seed)
+    C = Xs[rng.choice(len(Xs), size=k_, replace=False)]
+    for _ in range(iters):  # spherical k-means (cosine assignment)
+        assign = np.argmax(Xs @ C.T, axis=1)
+        for j in range(k_):
+            m = assign == j
+            if m.any():
+                v = Xs[m].sum(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+
+    c_ref = ray.put(C)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        cache = assign_batch.__dict__
+        if "C" not in cache:
+            cache["C"] = ray.get(c_ref)  # once per worker process
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cent = np.argmax(Xn @ cache["C"].T, axis=1).astype(np.int64)
+        return t.append_column("centroid", pa.array(cent))
+
+    os.makedirs(out, exist_ok=True)
+    (ds.map_batches(assign_batch, batch_format="pyarrow")
+       .write_parquet(out, partition_cols=["centroid"]))
+    np.save(cpath, C)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out, C
+
+
+def ivf_knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10,
+                         nprobe: int = 8) -> pd.DataFrame:
+    """IVF-probed approximate kNN: each query scans only its ``nprobe``
+    nearest centroid partitions of the written IVF index; per-batch top-k
+    partials reduce to the label vote (rows-only; tests assert ≥90%
+    agreement with brute force on a clustered table)."""
+    import os
+
+    idx, C = build_ivf_index(sf_dir)
+    qdf = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                   filter=pa.compute.field("vec_id") < num_queries
+                   ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims_c = Qn @ C.T
+    probes = sorted({int(c) for row in np.argsort(-sims_c, axis=1)[:, :nprobe]
+                     for c in row})
+    paths = [os.path.join(d, f)
+             for d in (os.path.join(idx, f"centroid={c}") for c in probes)
+             if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    cand_ds = ray.data.read_parquet(paths)
+
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Qn))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        cache = topk_partial.__dict__
+        if "q" not in cache:
+            cache["q"] = ray.get(q_ref)
+        ids_q, Qn_ = cache["q"]
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        return pa.table({
+            "query_id": np.repeat(ids_q, kk),
+            "label": labels[part].T.ravel(),
+            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+        })
+
+    partials = cand_ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, grp in partials.groupby("query_id"):
+        top = grp.sort_values("score", ascending=False).head(k)
+        vals, cnts = np.unique(top["label"].to_numpy(), return_counts=True)
+        rows.append({"query_id": int(qid),
+                     "predicted_label": int(vals[np.argmax(cnts)]),
+                     "nprobe": nprobe})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 def brute_force_knn_labels(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
     """Exact counterpart of knn_label_counts for accuracy tests."""
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).to_pandas()

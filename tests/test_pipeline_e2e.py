@@ -171,6 +171,13 @@ class TestVectorAccuracy:
         agree = (merged["predicted_label_a"] == merged["predicted_label_e"]).mean()
         assert agree >= 0.9
 
+        # IVF variant: same bar, probing 8 of 64 trained centroids
+        from anomaly_detection_ray.pipelines.vectors import ivf_knn_label_counts
+
+        ivf = ivf_knn_label_counts(str(d), num_queries=20)
+        m2 = ivf.merge(exact, on="query_id", suffixes=("_a", "_e"))
+        assert (m2["predicted_label_a"] == m2["predicted_label_e"]).mean() >= 0.9
+
     def test_hll_distinct_tolerance(self):
         import duckdb
 

@@ -220,6 +220,8 @@ def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
                           "event_type": pd.Series(dtype=object),
                           "value": pd.Series(dtype="float64")})
     out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
+    if out.empty:  # all-empty blocks can lose the schema through to_pandas
+        return empty
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 
@@ -257,6 +259,8 @@ def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
                           "value": pd.Series(dtype="float64"),
                           "direction": pd.Series(dtype="int64")})
     out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
+    if out.empty:  # all-empty blocks can lose the schema through to_pandas
+        return empty
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 

@@ -183,3 +183,25 @@ class TestDetectorPipelines:
 
         out = spot_anomalies(events_dir, max_train=50)
         assert len(out) >= 4
+
+    def test_no_anomalies_keeps_schema(self, tmp_path):
+        # a calm stream emits zero anomalies; the empty result must keep its
+        # typed columns (regression: all-empty blocks lost the schema)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.history import huber_anomalies, spot_anomalies
+
+        rng = np.random.default_rng(11)
+        base = pd.Timestamp("2024-01-01")
+        rows = [{"event_id": i, "ts": base + pd.Timedelta(minutes=i),
+                 "event_type": "calm", "value": float(v)}
+                for i, v in enumerate(rng.normal(10, 0.1, 500))]
+        d = tmp_path / "calm"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(d / "events.parquet"))
+        s = spot_anomalies(str(d))
+        h = huber_anomalies(str(d))
+        assert list(s.columns) == ["event_id", "event_type", "value"]
+        assert list(h.columns) == ["event_id", "event_type", "value", "direction"]
+        assert len(s) == 0 and len(h) == 0

@@ -73,6 +73,12 @@ def session_windows(sf_dir: str, gap_s: float = SESSION_GAP_S) -> pd.DataFrame:
     parts = ds.map_batches(_user_series_partials(num_buckets),
                            batch_format="pandas", batch_size=None)
     out = parts.groupby("bucket").map_groups(sessionize, batch_format="pandas").to_pandas()
+    if out.empty:  # empty stream: keep the typed schema
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "session_start": pd.Series(dtype="datetime64[us]"),
+                             "session_end": pd.Series(dtype="datetime64[us]"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "sum_value": pd.Series(dtype="float64")})
     return (out.sort_values(["user_id", "session_start"])
             .reset_index(drop=True))
 
@@ -111,6 +117,11 @@ def sliding_window_counts(sf_dir: str, window_hours: int = 3) -> pd.DataFrame:
             "n_events": roll["__cnt__"].astype("int64").to_numpy(),
             "sum_value": roll["value"].round(2).to_numpy(),
         }))
+    if not out_frames:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "hour": pd.Series(dtype="datetime64[us]"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "sum_value": pd.Series(dtype="float64")})
     out = pd.concat(out_frames, ignore_index=True)
     # emit only hours with ≥1 event in the window (dense zeros are noise)
     out = out[out["n_events"] > 0]
@@ -175,4 +186,6 @@ def asof_join_events(sf_dir: str, probe_type: str = "click",
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     out = parts.groupby("bucket").map_groups(merge_asof, batch_format="pandas").to_pandas()
+    if out.empty:  # no probe events anywhere: keep the typed schema
+        return empty
     return out.sort_values("event_id").reset_index(drop=True)

@@ -136,3 +136,18 @@ class TestAsofJoin:
             _norm_dt(ours).reset_index(drop=True),
             _norm_dt(oracle[ours.columns]).reset_index(drop=True),
             check_dtype=False)
+
+
+class TestEmptyStreams:
+    def test_empty_inputs_keep_schema(self, tmp_path):
+        # a table with no matching events must return typed empty frames
+        rows = [{"event_id": 0, "ts": BASE, "user_id": 1,
+                 "event_type": "other", "value": 1.0, "props": "{}"}]
+        d = tmp_path / "empty"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)),
+                       str(d / "events.parquet"))
+        a = asof_join_events(str(d))  # no clicks, no purchases
+        assert list(a.columns) == ["event_id", "user_id", "ts",
+                                   "last_build_ts", "last_build_value"]
+        assert len(a) == 0

@@ -155,12 +155,14 @@ class SuiteConfig:
     #: because frequency sketches of unique values carry no signal
     drift_columns: tuple = ("sr_hz", "dur_ms", "decoded_ms", "rms", "peak",
                             "clip_ratio", "codec")
-    #: batch size for the binary-heavy decode stage.  Sized so batch ×
-    #: payload (~21 KB/clip here) stays ~20 MB per actor call — big enough
-    #: that task-dispatch overhead (~10 ms/call) is <1% of the ~0.4 s call,
-    #: small enough that batch × concurrency fits worker heaps.  Tune DOWN
-    #: for longer clips (payload grows linearly with duration).
-    decode_batch_size: int = 1024
+    #: batch size for the binary-heavy decode stage.  ALIGN WITH THE SOURCE
+    #: BLOCK (2000-row chunk files here): a batch that spans read blocks
+    #: makes Ray's cross-block bundler gather upstream outputs (measured
+    #: +30% on the fused pass), and a smaller batch multiplies the partial
+    #: rows the suite shuffle carries (bundles = rows / batch).  Payload
+    #: memory = batch × ~21 KB ≈ 42 MB per in-flight call — tune DOWN for
+    #: longer clips (payload grows linearly with duration).
+    decode_batch_size: int = 2000
     #: None → adaptive: max(1, cluster CPUs − 2), leaving read/shuffle headroom
     decode_concurrency: int | None = None
     #: generic stats batch size

@@ -35,16 +35,19 @@ class Sketch:
     def _state(self) -> dict[str, Any]:
         return self.__dict__
 
+    @classmethod
+    def _restore(cls, state: dict) -> "Sketch":
+        obj = cls.__new__(cls)
+        obj.__dict__.update(state)
+        return obj
+
     def to_bytes(self) -> bytes:
         return pickle.dumps((type(self).__name__, self._state()), protocol=5)
 
     @staticmethod
     def from_bytes(raw: bytes) -> "Sketch":
         name, state = pickle.loads(raw)
-        cls = _REGISTRY[name]
-        obj = cls.__new__(cls)
-        obj.__dict__.update(state)
-        return obj
+        return _REGISTRY[name]._restore(state)
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +93,27 @@ class HyperLogLog(Sketch):
         assert self.p == other.p
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
+
+    def _state(self) -> dict[str, Any]:
+        # Sparse wire format when few registers are set — a PARTIAL built
+        # from a per-(partition, column) slice of one block touches ≤ rows
+        # registers out of 2^p, so the dense 16 KiB array was >90% of the
+        # suite's shuffle bytes.  Dense stays the format past 1/8 occupancy
+        # (sparse would be bigger); old dense payloads restore unchanged.
+        nz = np.flatnonzero(self.registers)
+        if nz.size < self.m // 8:
+            return {"p": self.p,
+                    "sparse_idx": nz.astype(np.uint16 if self.p <= 16 else np.int64),
+                    "sparse_val": self.registers[nz]}
+        return self.__dict__
+
+    @classmethod
+    def _restore(cls, state: dict) -> "HyperLogLog":
+        if "sparse_idx" in state:
+            obj = cls(int(state["p"]))
+            obj.registers[state["sparse_idx"].astype(np.int64)] = state["sparse_val"]
+            return obj
+        return super()._restore(state)
 
     def estimate(self) -> float:
         m = float(self.m)

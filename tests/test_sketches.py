@@ -135,3 +135,30 @@ class TestMinHashSimHash:
         near = simhash64(t[:190])
         far = simhash64(rng.integers(0, 2**63, size=200).astype(np.uint64))
         assert hamming64(np.array([near]), full)[0] < hamming64(np.array([far]), full)[0]
+
+
+def test_hll_sparse_wire_format_roundtrip():
+    """Sparse serialization: small partials ship ~idx/val pairs, not the
+    dense 16 KiB register array; dense kicks in past 1/8 occupancy; both
+    restore to identical registers and merge with old dense payloads."""
+    import numpy as np
+
+    from anomaly_detection_ray.state.sketches import HyperLogLog, Sketch
+
+    small = HyperLogLog().add_many(np.arange(50))
+    raw = small.to_bytes()
+    assert len(raw) < 2048  # dense would be >16 KiB
+    back = Sketch.from_bytes(raw)
+    assert np.array_equal(back.registers, small.registers)
+
+    big = HyperLogLog().add_many(np.arange(100_000))
+    raw_big = big.to_bytes()
+    assert len(raw_big) > 16_000  # dense format retained at high occupancy
+    back_big = Sketch.from_bytes(raw_big)
+    assert np.array_equal(back_big.registers, big.registers)
+
+    # sparse-restored merges with dense-restored exactly
+    merged = back.merge(back_big)
+    ref = HyperLogLog().add_many(np.arange(50)).merge(
+        HyperLogLog().add_many(np.arange(100_000)))
+    assert np.array_equal(merged.registers, ref.registers)

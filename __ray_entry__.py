@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
         "minhash_near_dups": textops.minhash_near_dups,
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "simhash_near_dups": textops.simhash_near_dups,
         "winnow_near_dups": textops.winnow_near_dups,
         # vectors

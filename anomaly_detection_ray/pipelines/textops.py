@@ -100,6 +100,34 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
         "doc_id").reset_index(drop=True)
 
 
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.DataFrame:
+    """Word n-gram Jaccard near-duplicates: MinHash-LSH candidate
+    generation (never all-pairs) followed by EXACT word-n-gram Jaccard
+    verification, fully distributed (gather_doc_features semi-filtered
+    scan + score_pairs broadcast pair map).  The standalone entry for the
+    dedup family's n-gram Jaccard member — the verify metric differs from
+    minhash_near_dups' char-shingle Jaccard."""
+    from anomaly_detection_ray.functions.text import jaccard, word_ngram_sets
+    from anomaly_detection_ray.stages.dedup import (
+        gather_doc_features,
+        minhash_candidate_pairs,
+        score_pairs,
+    )
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "text", "doc_id")
+    if cand.empty:
+        return pd.DataFrame({"a": [], "b": [], "ngram_jaccard": []})
+    fmap = gather_doc_features(
+        ds, "doc_id", "text", set(cand["a"]) | set(cand["b"]),
+        lambda t: word_ngram_sets(pd.Series([t]), n=n)[0])
+    scored = score_pairs(cand, fmap,
+                         lambda fa, fb: (round(jaccard(fa, fb), 6),),
+                         {"ngram_jaccard": 0})
+    out = scored[scored["ngram_jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
     synthetic near-dup corpus in tests/test_dedup.py)."""

@@ -130,6 +130,17 @@ class TestWinnowPipeline:
         assert ("d0", "d1") in pairs
         assert out.set_index(["a", "b"]).loc[("d0", "d1"), "overlap"] > 0.7
 
+        # the standalone n-gram-Jaccard member of the dedup family finds
+        # the same planted pair with exact word-3-gram verification
+        from anomaly_detection_ray.pipelines.textops import ngram_jaccard_dups
+
+        nj = ngram_jaccard_dups(str(d))
+        njp = set(zip(nj["a"], nj["b"]))
+        assert ("d0", "d1") in njp
+        assert nj.set_index(["a", "b"]).loc[("d0", "d1"), "ngram_jaccard"] > 0.8
+        # unrelated docs never pair
+        assert all(a == "d0" and b == "d1" for a, b in njp)
+
 
 class TestDetectorPipelines:
     """The F17 train-broadcast-score shape end-to-end: planted anomalies

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
         "events_drift_halves": history.events_drift_halves,
+        "drift_halves_exact": history.drift_halves_exact,
         "spot_anomalies": history.spot_anomalies,
         "huber_anomalies": history.huber_anomalies,
         # multimodal binary columns (rows-only; decode pinned by unit tests)
@@ -399,6 +400,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        # quality formula mirrors functions/text.py:quality_score term by
+        # term (same IEEE-double op order → bit-exact); the BPE-ish token
+        # regex is the SAME lookahead-free pattern Python compiles (the
+        # apostrophe is doubled for the SQL literal)
+        "quality_scores": r"""
+            SELECT doc_id,
+                   round(
+                     0.5 * least(CAST(length(list_filter(
+                             regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                           AS DOUBLE) / 20.0, 1.0)
+                   + 0.2 * (1.0 - least(CAST(length(regexp_extract_all(
+                             text, '[^\p{L}\p{N}_\s]'))
+                           AS DOUBLE) / greatest(length(text), 1) * 4.0, 1.0))
+                   + 0.3 * least(CAST(length(regexp_extract_all(text, '[A-Za-z]'))
+                           AS DOUBLE) / greatest(length(text), 1) * 1.5, 1.0)
+                   , 6) AS quality,
+                   length(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                   )) AS n_tokens_bpeish
+            FROM documents ORDER BY doc_id
+        """,
+        # exact drift twin: KS cumulative sums / chi-square terms follow the
+        # same IEEE-double op order as pipelines/history.py:drift_halves_exact
+        "drift_halves_exact": """
+            WITH mm AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+                        FROM events),
+            lab AS (SELECT value, event_type,
+                           CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
+                                THEN 1 ELSE 0 END AS h
+                    FROM events, mm),
+            vc AS (SELECT value,
+                          CAST(sum(1 - h) AS DOUBLE) AS c0,
+                          CAST(sum(h) AS DOUBLE) AS c1
+                   FROM lab GROUP BY value),
+            tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM vc),
+            cum AS (SELECT sum(c0) OVER (ORDER BY value) AS f0,
+                           sum(c1) OVER (ORDER BY value) AS f1
+                    FROM vc),
+            ks AS (SELECT max(abs(f0 / n0 - f1 / n1)) AS s FROM cum, tot),
+            tc AS (SELECT event_type,
+                          CAST(sum(1 - h) AS DOUBLE) AS c0,
+                          CAST(sum(h) AS DOUBLE) AS c1
+                   FROM lab GROUP BY event_type),
+            t2 AS (SELECT sum(c0) AS r0, sum(c1) AS r1, sum(c0 + c1) AS n
+                   FROM tc),
+            terms AS (SELECT event_type,
+                             (c0 - r0 * (c0 + c1) / n) * (c0 - r0 * (c0 + c1) / n)
+                               / (r0 * (c0 + c1) / n)
+                           + (c1 - r1 * (c0 + c1) / n) * (c1 - r1 * (c0 + c1) / n)
+                               / (r1 * (c0 + c1) / n) AS term
+                      FROM tc, t2),
+            chi AS (SELECT list_sum(list(term ORDER BY event_type)) AS s
+                    FROM terms)
+            SELECT 'event_type' AS "column", round(chi.s, 6) AS chi2_stat,
+                   CAST(NULL AS DOUBLE) AS ks_stat FROM chi
+            UNION ALL
+            SELECT 'value', CAST(NULL AS DOUBLE), round(ks.s, 6) FROM ks
+            ORDER BY "column"
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -18,9 +18,11 @@ import pandas as pd
 from anomaly_detection_ray.functions.hashing import hash64
 
 _WS = re.compile(r"\s+")
-#: BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
-#: (the common GPT-2-style contraction/word/number split, public domain regex)
-_BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+#: BPE-ish pre-tokenizer: contractions, words, numbers, symbol runs, and
+#: whitespace runs (GPT-2-style split, simplified to be lookahead-free so
+#: the SAME pattern runs under RE2 — DuckDB's regexp engine — letting the
+#: driver oracle count tokens with regexp_extract_all and match bit-exactly)
+_BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
 _PUNCT = re.compile(r"[^\w\s]")
 
 #: tiny per-language stopword profiles for the n-gram/stopword heuristic

@@ -286,6 +286,76 @@ def events_drift_halves(sf_dir: str) -> pd.DataFrame:
         "column").reset_index(drop=True)
 
 
+def drift_halves_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact twin of :func:`events_drift_halves`: the exact two-sample KS
+    statistic over ``value`` and the exact Pearson chi-square statistic over
+    ``event_type`` between the first/second half of the events stream — the
+    DuckDB-oracled correctness anchor for the sketch-based drift check
+    (reference drift semantics: anomalydetection third_party detectors'
+    fixed-bound statistic shape; the sketch path is the 100-TB engine).
+
+    Scale notes: per-(key, half) counts are pre-aggregated distributed via
+    the ``grouped_sums`` blob combiner; only the distinct-value count table
+    reaches the driver for the final cumulative-sup scan.  ``value`` here is
+    a bounded-cardinality metric column; for truly continuous columns the
+    t-digest KS in ``events_drift_halves`` is the scale path and this twin
+    exists to pin its math at verification scale.
+
+    The midpoint is computed in integer MICROseconds (``lo + (hi-lo)//2``)
+    so the half-assignment matches the oracle's ``epoch_us`` arithmetic
+    bit-for-bit.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo_us = pd.Timestamp(mm["min(ts)"]).value // 1000
+    hi_us = pd.Timestamp(mm["max(ts)"]).value // 1000
+    mid_us = lo_us + (hi_us - lo_us) // 2
+
+    def label(t: pa.Table) -> pa.Table:
+        ts_us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        h = (ts_us >= mid_us).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "value": t["value"],
+                         "c0": 1 - h, "c1": h})
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+
+    # exact KS over value: cumulative-CDF sup-difference on the distinct-
+    # value count table (ordered cumsum → same doubles as the oracle's
+    # windowed sum)
+    vc = grouped_sums(labeled, ["value"], ["c0", "c1"]).to_pandas()
+    vc = vc.sort_values("value").reset_index(drop=True)
+    n0, n1 = float(vc["c0"].sum()), float(vc["c1"].sum())
+    f0 = vc["c0"].cumsum().to_numpy(dtype=np.float64)
+    f1 = vc["c1"].cumsum().to_numpy(dtype=np.float64)
+    ks = float(np.max(np.abs(f0 / n0 - f1 / n1)))
+
+    # exact chi-square over event_type: 2×k contingency, expected from
+    # pooled marginals, terms accumulated in sorted-type order
+    tc = grouped_sums(labeled, ["event_type"], ["c0", "c1"]).to_pandas()
+    tc = tc.sort_values("event_type").reset_index(drop=True)
+    c0 = tc["c0"].to_numpy(dtype=np.float64)
+    c1 = tc["c1"].to_numpy(dtype=np.float64)
+    r0, r1 = float(c0.sum()), float(c1.sum())
+    n = r0 + r1
+    stat = 0.0
+    for j in range(len(tc)):
+        tj = c0[j] + c1[j]
+        e0, e1 = r0 * tj / n, r1 * tj / n
+        d0, d1 = c0[j] - e0, c1[j] - e1
+        stat += d0 * d0 / e0 + d1 * d1 / e1
+
+    return pd.DataFrame({
+        "column": ["event_type", "value"],
+        "chi2_stat": [round(stat, 6), np.nan],
+        "ks_stat": [np.nan, round(ks, 6)],
+    })
+
+
 def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL distinct-count estimate of user_id (tests assert ≤2% error vs
     exact; rows-only for the driver)."""

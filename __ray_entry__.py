@@ -125,11 +125,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors
         "embedding_topk": vectors.embedding_topk,
         "knn_label_counts": vectors.knn_label_counts,
+        "knn_exact_label_counts": vectors.knn_exact_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
         # sketches / detectors / drift
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
+        "value_quantiles_exact": history.value_quantiles_exact,
         "events_drift_halves": history.events_drift_halves,
         "drift_halves_exact": history.drift_halves_exact,
         "spot_anomalies": history.spot_anomalies,
@@ -422,6 +424,24 @@ def oracle_sql() -> dict[str, str]:
                    )) AS n_tokens_bpeish
             FROM documents ORDER BY doc_id
         """,
+        # exact order statistics around each quantile position: raw values,
+        # ranks computed with the same double multiply + floor as the
+        # pipeline (pipelines/history.py:value_quantiles_exact)
+        "value_quantiles_exact": """
+            WITH n AS (SELECT count(value) AS c FROM events),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q),
+            pos AS (SELECT q,
+                           CAST(floor((c - 1) * q) AS BIGINT) AS klo,
+                           least(CAST(floor((c - 1) * q) AS BIGINT) + 1, c - 1) AS khi
+                    FROM qs, n),
+            sorted AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk
+                       FROM events WHERE value IS NOT NULL)
+            SELECT p.q, p.klo AS rank_lo, lo.value AS value_lo, hi.value AS value_hi
+            FROM pos p
+            JOIN sorted lo ON lo.rk = p.klo
+            JOIN sorted hi ON hi.rk = p.khi
+            ORDER BY p.q
+        """,
         # exact drift twin: KS cumulative sums / chi-square terms follow the
         # same IEEE-double op order as pipelines/history.py:drift_halves_exact
         "drift_halves_exact": """
@@ -459,6 +479,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value', CAST(NULL AS DOUBLE), round(ks.s, 6) FROM ks
             ORDER BY "column"
+        """,
+        # exact kNN vote: ranking ties broken by vec_id, vote ties by label
+        # (total orders on both sides — pipelines/vectors.py:knn_exact_label_counts)
+        "knn_exact_label_counts": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 20),
+            nn AS (SELECT qid, e.vec_id, e.label
+                   FROM q CROSS JOIN embeddings e
+                   QUALIFY row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                   ) <= 10),
+            votes AS (SELECT qid, label, count(*) AS c FROM nn GROUP BY 1, 2)
+            SELECT qid AS query_id, label AS predicted_label, c AS votes
+            FROM votes
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) = 1
+            ORDER BY query_id
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

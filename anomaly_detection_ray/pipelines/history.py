@@ -383,6 +383,36 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"q": qs, "value_quantile": np.round(vals, 4)})
 
 
+def value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact-quantile twin of :func:`value_quantiles`, DuckDB-oracled.
+
+    Uses the sketch-guided exact order-statistic pass
+    (:func:`anomaly_detection_ray.stages.stats.exact_order_stats` — t-digest
+    brackets each rank, one counting ``map_batches`` pass fetches the exact
+    value; no global sort, no full materialization).  Emits the RAW
+    bracketing order statistics (``value_lo``/``value_hi`` at ranks
+    ``floor((n-1)q)`` / ``min(floor+1, n-1)``) rather than an interpolated
+    quantile, so the oracle comparison is over raw data values — bit-exact
+    by construction, with interpolation left as driver-side arithmetic.
+    """
+    import math
+
+    from anomaly_detection_ray.stages.stats import exact_order_stats
+
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    ds = sf_table(sf_dir, "events", columns=["value"])
+    n = ds.count()
+    klo = [math.floor((n - 1) * q) for q in qs]
+    khi = [min(k + 1, n - 1) for k in klo]
+    vals = exact_order_stats(ds, "value", sorted(set(klo) | set(khi)), n=n)
+    return pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "rank_lo": np.asarray(klo, dtype=np.int64),
+        "value_lo": np.asarray([vals[k] for k in klo], dtype=np.float64),
+        "value_hi": np.asarray([vals[k] for k in khi], dtype=np.float64),
+    })
+
+
 def backtest_freshness(
     history_dir: str | None = None,
     *,

@@ -320,6 +320,62 @@ def brute_force_knn_labels(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
     return pd.DataFrame(rows)
 
 
+def knn_exact_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.DataFrame:
+    """Distributed exact kNN majority-label classification, DuckDB-oracled.
+
+    Brute-force cosine top-k per query (broadcast query matrix, per-batch
+    matmul + top-k partials — the ``embedding_topk`` scale shape, never a
+    driver-side corpus scan), then a deterministic majority vote.  All
+    tie-breaks are total orders so the oracle matches exactly: neighbors
+    rank by (score DESC, vec_id ASC); the vote winner by (votes DESC,
+    label ASC).  Self-matches are included (defined semantics both sides).
+    """
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    qdf = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], num_queries)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((qdf["vec_id"].to_numpy(), Qn))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        cache = topk_partial.__dict__
+        if "q" not in cache:
+            cache["q"] = ray.get(q_ref)
+        qids_, Qn_ = cache["q"]
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        return pa.table({
+            "query_id": np.repeat(qids_, kk),
+            "vec_id": ids[part].T.ravel(),
+            "label": labels[part].T.ravel(),
+            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+        })
+
+    partials = ds.map_batches(topk_partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    top = (partials.sort_values(["query_id", "score", "vec_id"],
+                                ascending=[True, False, True])
+           .groupby("query_id", observed=True).head(k))
+    votes = (top.groupby(["query_id", "label"], observed=True).size()
+             .rename("votes").reset_index()
+             .sort_values(["query_id", "votes", "label"],
+                          ascending=[True, False, True])
+             .groupby("query_id", observed=True).head(1))
+    return pd.DataFrame({
+        "query_id": votes["query_id"].to_numpy(dtype=np.int64),
+        "predicted_label": votes["label"].to_numpy(dtype=np.int64),
+        "votes": votes["votes"].to_numpy(dtype=np.int64),
+    }).sort_values("query_id").reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

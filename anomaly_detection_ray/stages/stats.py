@@ -224,3 +224,101 @@ def salted_groupby_sum(
         *[Sum(c, alias_name=c) for c in value_cols]
     )
     return first.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in value_cols])
+
+
+# ---------------------------------------------------------------------------
+# Sketch-guided exact order statistics (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def exact_order_stats(
+    ds: "ray.data.Dataset",
+    col: str,
+    ranks: Sequence[int],
+    *,
+    n: Optional[int] = None,
+    tdigest=None,
+    pad: float = 0.002,
+    max_rounds: int = 5,
+) -> dict[int, float]:
+    """Exact k-th order statistics (0-based global ranks over non-null
+    values) WITHOUT a global sort.
+
+    A t-digest brackets each requested rank with a ``[lo, hi]`` value
+    window, then ONE counting pass (``map_batches`` partial reduce — the
+    dataset is never shuffled) computes, per rank, the exact number of
+    rows below the window plus the small set of in-window values; the
+    k-th value is read off the sorted window.  Ranks whose window missed
+    (sketch bracket too tight) are retried with a geometrically wider
+    window.
+
+    Scale notes: driver memory is O(pad · n) per rank — ``pad`` is a
+    QUANTILE-space half-width, so at 10^12 rows the same machinery should
+    iterate (re-bracket inside the previous window with a fresh digest of
+    only in-window rows) instead of widening; one round suffices at bench
+    scale and the retry loop bounds the worst case.  This is the exact
+    verification anchor for the t-digest quantile path (state/sketches.py
+    TDigest), mirroring how the reference pins its approximate detectors
+    with exact twins in tests.
+    """
+    if n is None:
+        n = ds.count()
+    if n == 0:
+        return {}
+    ranks = sorted(set(int(r) for r in ranks))
+    if tdigest is None:
+        stats = column_stats(ds, [col], with_sketches=True).to_pandas()
+        from anomaly_detection_ray.state.sketches import Sketch
+
+        tdigest = Sketch.from_bytes(stats["tdigest"].iloc[0])
+
+    resolved: dict[int, float] = {}
+    pads = {r: pad for r in ranks}
+    for _ in range(max_rounds):
+        todo = [r for r in ranks if r not in resolved]
+        if not todo:
+            break
+        windows = []
+        for r in todo:
+            q = r / max(n - 1, 1)
+            p = pads[r]
+            lo = -np.inf if q - p <= 0 else float(tdigest.quantile([q - p])[0])
+            hi = np.inf if q + p >= 1 else float(tdigest.quantile([q + p])[0])
+            windows.append((r, lo, hi))
+
+        def count_pass(t: pa.Table, _windows=tuple(windows)) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            js, cnts, vals = [], [], []
+            for j, (_, lo, hi) in enumerate(_windows):
+                js.append(j)
+                cnts.append(int((v < lo).sum()))
+                w = v[(v >= lo) & (v <= hi)]
+                vals.append(w.tolist())
+            return pa.table({
+                "j": pa.array(js, pa.int64()),
+                "cnt_lt": pa.array(cnts, pa.int64()),
+                "vals": pa.array(vals, pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(count_pass, batch_format="pyarrow").to_pandas()
+        for j, (r, _, _) in enumerate(windows):
+            sub = parts[parts["j"] == j]
+            cnt_lt = int(sub["cnt_lt"].sum())
+            window = np.sort(np.concatenate([np.asarray(x) for x in sub["vals"]])
+                             if len(sub) else np.array([]))
+            if cnt_lt <= r < cnt_lt + len(window):
+                resolved[r] = float(window[r - cnt_lt])
+            else:
+                pads[r] = pads[r] * 4.0
+    missing = [r for r in ranks if r not in resolved]
+    if missing:  # give up bracketing; exact fallback for the stragglers
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "exact_order_stats: bracket retries exhausted for ranks %s — "
+            "falling back to a driver-side sort of the column", missing)
+        allv = np.sort(ds.to_pandas()[col].dropna().to_numpy(dtype=np.float64))
+        for r in missing:
+            resolved[r] = float(allv[r])
+    return resolved

@@ -187,3 +187,39 @@ class TestKeyIntegrity:
         assert by.loc["d", "n_left"] == 0           # right orphan
         assert None not in by.index                 # nulls never enter the shuffle
         assert len(by) == 5
+
+
+class TestExactOrderStats:
+    """Sketch-guided exact order statistics (stages/stats.py) — the
+    correctness anchor behind value_quantiles_exact."""
+
+    def test_matches_numpy_sort(self, ray_session):
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(10, 4, size=20_000)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        ranks = [0, 1, 4_999, 10_000, 19_998, 19_999]
+        got = exact_order_stats(ds, "value", ranks)
+        want = np.sort(v)
+        for r in ranks:
+            assert got[r] == want[r], r
+
+    def test_nulls_excluded_and_duplicates(self, ray_session):
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        v = [5.0, None, 1.0, 1.0, 3.0, None, 2.0]
+        ds = rd.from_pandas(pd.DataFrame({"value": pd.array(v, dtype="float64")}))
+        got = exact_order_stats(ds, "value", [0, 1, 2, 4])
+        assert got == {0: 1.0, 1: 1.0, 2: 2.0, 4: 5.0}
+
+    def test_tight_bracket_retries_then_resolves(self, ray_session):
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        rng = np.random.default_rng(4)
+        v = rng.uniform(0, 1, size=5_000)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        # a pathologically tight pad forces the widening retry loop (and
+        # possibly the driver-sort fallback) — the answer must still be exact
+        got = exact_order_stats(ds, "value", [2_500], pad=1e-12)
+        assert got[2_500] == np.sort(v)[2_500]

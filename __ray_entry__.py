@@ -403,6 +403,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
         """,
+        # mirrors functions/text.py:detect_language's decision tree: han
+        # ratio → zh; best stopword-profile hit with ties falling to the
+        # earlier profile (en→es→de→fr, matching the Python strict-> scan);
+        # all-ASCII tokens → en; else unknown
+        "language_id": r"""
+            WITH f AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '') AS toks,
+                length(regexp_extract_all(text, '[一-鿿]')) AS han,
+                greatest(length(text), 1) AS n_chars
+              FROM documents
+            ), h AS (
+              SELECT *,
+                length(list_filter(toks, x -> list_contains(
+                  ['the','and','of','a','to','in','is','it','that','was'], x))) AS h_en,
+                length(list_filter(toks, x -> list_contains(
+                  ['el','la','de','que','y','en','un','los','se','no'], x))) AS h_es,
+                length(list_filter(toks, x -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','zu','mit','den'], x))) AS h_de,
+                length(list_filter(toks, x -> list_contains(
+                  ['le','la','de','et','les','des','est','un','une','que'], x))) AS h_fr
+              FROM f
+            ), lid AS (
+              SELECT CASE
+                WHEN CAST(han AS DOUBLE) / n_chars > 0.2 THEN 'zh'
+                WHEN length(toks) = 0 THEN 'unknown'
+                WHEN greatest(h_en, h_es, h_de, h_fr) > 0 THEN
+                  CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                       WHEN h_de >= h_fr THEN 'de'
+                       ELSE 'fr' END
+                WHEN regexp_replace(text, '\s+', '', 'g') ~ '^[\x00-\x7F]*$' THEN 'en'
+                ELSE 'unknown'
+              END AS detected_lang
+              FROM h
+            )
+            SELECT detected_lang, count(*) AS n_docs
+            FROM lid GROUP BY 1 ORDER BY 1
+        """,
         # quality formula mirrors functions/text.py:quality_score term by
         # term (same IEEE-double op order → bit-exact); the BPE-ish token
         # regex is the SAME lookahead-free pattern Python compiles (the

@@ -91,8 +91,10 @@ def quality_score(texts: pd.Series) -> np.ndarray:
 
 def detect_language(texts: pd.Series) -> np.ndarray:
     """Heuristic language ID: han-script ratio → zh, else best stopword-
-    profile hit, else 'unknown'. Deterministic; rows-only correctness
-    (no SQL oracle can express this)."""
+    profile hit (ties broken by profile order en→es→de→fr via strict->),
+    else 'en' for all-ASCII tokens, else 'unknown'.  Deterministic and
+    DuckDB-oracled: the language_id oracle mirrors this decision tree with
+    list_filter/list_contains over the same profiles."""
     s = texts.fillna("")
     out = np.full(len(s), "unknown", dtype=object)
     han = s.str.count(r"[一-鿿]").to_numpy()

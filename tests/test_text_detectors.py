@@ -216,3 +216,46 @@ class TestDetectorPipelines:
         assert list(s.columns) == ["event_id", "event_type", "value"]
         assert list(h.columns) == ["event_id", "event_type", "value", "direction"]
         assert len(s) == 0 and len(h) == 0
+
+
+class TestLanguageIdOracleAgreement:
+    """detect_language's decision tree must stay in lockstep with the
+    language_id DuckDB oracle (__ray_entry__.oracle_sql) — the driver's
+    testdata is all-ASCII, so the zh / tie / accent branches are pinned
+    here against the same SQL."""
+
+    CASES = [
+        "今天天气很好 我们去公园",          # han ratio → zh
+        "le chat est sur la table",          # fr profile
+        "",                                   # empty → unknown
+        "   ",                                # whitespace only → unknown
+        "de un the la",                       # es/fr tie → earlier profile (es)
+        "café au lait naïve",                 # non-ASCII, no profile hit → unknown
+        "xyz qrs",                            # ASCII, no hits → en
+        "der die und das ist",                # de
+    ]
+
+    def test_sql_matches_python(self):
+        import duckdb
+
+        from anomaly_detection_ray.functions.text import detect_language
+
+        sys_path = __import__("sys").path
+        if "/root/repo" not in sys_path:
+            sys_path.insert(0, "/root/repo")
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_for_test", "/root/repo/__ray_entry__.py")
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        sql = entry.oracle_sql()["language_id"]
+
+        con = duckdb.connect()
+        con.register("docs_df", pd.DataFrame(
+            {"doc_id": range(len(self.CASES)), "text": self.CASES}))
+        con.sql("CREATE VIEW documents AS SELECT * FROM docs_df")
+        ora = con.sql(sql).df().set_index("detected_lang")["n_docs"]
+
+        mine = pd.Series(detect_language(pd.Series(self.CASES))).value_counts()
+        assert mine.sort_index().to_dict() == ora.sort_index().to_dict()

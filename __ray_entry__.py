@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_exact_label_counts": vectors.knn_exact_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
+        "embedding_pairs_exact": vectors.embedding_pairs_exact,
         # sketches / detectors / drift
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
@@ -519,6 +520,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value', CAST(NULL AS DOUBLE), round(ks.s, 6) FROM ks
             ORDER BY "column"
+        """,
+        # exact all-pairs cosine twin of the LSH near-dup path
+        # (pipelines/vectors.py:embedding_pairs_exact; threshold 0.45 —
+        # the synthetic embeddings top out near cosine 0.6)
+        "embedding_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+            ORDER BY a, b
         """,
         # exact kNN vote: ranking ties broken by vec_id, vote ties by label
         # (total orders on both sides — pipelines/vectors.py:knn_exact_label_counts)

@@ -376,6 +376,47 @@ def knn_exact_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
     }).sort_values("query_id").reset_index(drop=True)
 
 
+def embedding_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Exact cosine-similarity pairs above ``threshold``, DuckDB-oracled —
+    the brute-force correctness anchor for the LSH-bucketed
+    :func:`embedding_near_dups` (which can only MISS pairs, never invent
+    them, so its candidate recall is judged against this twin in tests).
+
+    Distributed blocked all-pairs: the full normalized matrix is broadcast
+    once (``ray.put``) and each batch computes one matmul slab against it —
+    O(n²) work spread across the pool with no shuffle.  Inherently
+    quadratic, so this is the verification-scale tool; LSH bucketing is
+    the 100-TB path.  The default threshold (0.45) is chosen to yield a
+    non-empty answer on the synthetic embeddings (max pairwise cosine is
+    ~0.6 — there are no planted 0.95 near-dups), so the oracle checks real
+    rows rather than an empty set.
+    """
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = ds.to_pandas().sort_values("vec_id")
+    X = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((full["vec_id"].to_numpy(), Xn))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cache = pairs.__dict__
+        if "m" not in cache:
+            cache["m"] = ray.get(ref)
+        all_ids, Xn_ = cache["m"]
+        B = _batch_matrix(t)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = Bn @ Xn_.T  # (batch, n)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        ai, bj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+        return pa.table({
+            "a": bids[ai].astype(np.int64),
+            "b": all_ids[bj].astype(np.int64),
+            "cosine": np.round(sims[ai, bj], 5),
+        })
+
+    out = ds.map_batches(pairs, batch_format="pyarrow", batch_size=1024).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

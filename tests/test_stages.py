@@ -223,3 +223,48 @@ class TestExactOrderStats:
         # possibly the driver-sort fallback) — the answer must still be exact
         got = exact_order_stats(ds, "value", [2_500], pad=1e-12)
         assert got[2_500] == np.sort(v)[2_500]
+
+
+class TestEmbeddingNearDups:
+    """Planted high-cosine pairs: the exact all-pairs twin defines ground
+    truth; the LSH-bucketed path is judged by its recall against it."""
+
+    @pytest.fixture()
+    def planted_dir(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(21)
+        X = rng.standard_normal((300, 64))
+        # plant 10 near-identical pairs: vec 300+i is vec i plus tiny noise
+        planted = [(i, 300 + i) for i in range(10)]
+        dups = X[:10] + 0.02 * rng.standard_normal((10, 64))
+        allX = np.vstack([X, dups])
+        t = pa.table({
+            "vec_id": pa.array(range(len(allX)), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in allX],
+                                  pa.list_(pa.float32())),
+        })
+        d = tmp_path / "emb"
+        d.mkdir()
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        return str(d), set(planted)
+
+    def test_exact_twin_finds_exactly_planted(self, planted_dir, ray_session):
+        from anomaly_detection_ray.pipelines.vectors import embedding_pairs_exact
+
+        d, planted = planted_dir
+        out = embedding_pairs_exact(d, threshold=0.95)
+        assert set(zip(out["a"], out["b"])) == planted
+
+    def test_lsh_recall_against_exact(self, planted_dir, ray_session):
+        from anomaly_detection_ray.pipelines.vectors import (
+            embedding_near_dups,
+            embedding_pairs_exact,
+        )
+
+        d, _ = planted_dir
+        exact = set(map(tuple, embedding_pairs_exact(d, threshold=0.95)[["a", "b"]].to_numpy()))
+        lsh = embedding_near_dups(d, threshold=0.95)
+        got = set(map(tuple, lsh[["a", "b"]].to_numpy())) if len(lsh) else set()
+        assert got <= exact                      # LSH can miss, never invent
+        assert len(got) >= 0.8 * len(exact)      # recall bar on planted dups

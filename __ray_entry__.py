@@ -42,7 +42,10 @@ def _baseline_snapshot(n: int, cfg) -> "Any":
         save_snapshot,
     )
 
-    snap_path = f"/tmp/adr_snapshots/baseline-n{n}-p{cfg.num_partitions}.parquet"
+    from anomaly_detection_ray.functions.audio import QC_FEATURE_VERSION
+
+    snap_path = (f"/tmp/adr_snapshots/baseline-n{n}-p{cfg.num_partitions}"
+                 f"-v{QC_FEATURE_VERSION}.parquet")
     if os.path.exists(snap_path):
         return load_snapshot(snap_path)
     base_ds = decode_stage(

@@ -175,7 +175,15 @@ def validate_clips(
             read_table(transcripts_path, columns=["clip_id"]).map_batches(
                 side_key_partials("clip_id", 1, cfg.num_partitions),
                 batch_format="pyarrow", batch_size=cfg.stats_batch_size))
-    partials = partials.materialize()  # tiny: O(bundles × partitions × cols)
+    # pre-shuffle combine: ~50 bundles' partial rows fold into one row per
+    # (partition, column) / (bucket, side) before the groupby-merge, so the
+    # suite's one shuffle moves O(combiner-batches × groups) rows instead
+    # of O(bundles × groups) (stages/fused.py:combine_partial_rows)
+    from anomaly_detection_ray.stages.fused import combine_partial_rows
+
+    partials = partials.map_batches(combine_partial_rows,
+                                    batch_format="pyarrow", batch_size=8192)
+    partials = partials.materialize()  # tiny: O(combiner batches × groups)
 
     stats_df, suspect_keys, row_violations = collect_suite_partials(
         partials, with_keys=with_keys, with_ref=need_ref)

@@ -42,7 +42,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from anomaly_detection_ray.functions.hashing import bucket_of
-from anomaly_detection_ray.stages.stats import _partial_for_column
 from anomaly_detection_ray.state.sketches import Sketch
 
 KIND_STATS = "stats"
@@ -113,17 +112,19 @@ class SuitePartials:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[tuple] = []
-        keys_col = batch[self.partition_col]
         # ---- stats partials, per partition value in this bundle ----------
-        for k in pc.unique(keys_col).to_pylist():
-            sub = batch.filter(pc.equal(keys_col, k))
-            for name in self.stat_columns:
-                d = _partial_for_column(sub[name], name, with_sketches=True)
-                rows.append((KIND_STATS, str(k), name, 0,
-                             pickle.dumps({x: d[x] for x in
-                                           ("count", "nulls", "min", "max",
-                                            "sum", "sumsq", "hll", "tdigest",
-                                            "freq")})))
+        # Column-major: ONE stable partition-sort of the bundle, then per
+        # column ONE arrow take, ONE hash64 pass and ONE unique/bincount
+        # value-count shared by every partition slice.  The previous
+        # partition-major loop (filter batch per partition, build each
+        # sketch from scratch) paid the fixed pandas-hash / value_counts /
+        # Series cost once per (partition, column) CELL — ~0.4 s of the
+        # 0.5 s per-bundle budget at 32 partitions, and the reason suite
+        # cost grew with num_partitions.  Values flow into each sketch in
+        # the same order as before (stable sort + order-preserving null
+        # drop), so partial bytes are semantically identical.
+        if batch.num_rows:
+            rows.extend(self._stats_rows(batch))
         # ---- key-count partials ------------------------------------------
         if self.with_keys:
             rows.extend(_key_count_rows(batch[self.key_col], 0, self.num_buckets))
@@ -159,6 +160,155 @@ class SuitePartials:
             rows.append((KIND_VIOL, "", "", 0, pickle.dumps(viols)))
         return _rows_table(rows)
 
+    def _stats_rows(self, batch: pa.Table) -> list[tuple]:
+        """Per-(partition, column) partial-stat rows, column-major."""
+        from anomaly_detection_ray.functions.hashing import hash64
+        from anomaly_detection_ray.stages.stats import _is_numeric
+        from anomaly_detection_ray.state.sketches import (
+            FreqSketch,
+            HyperLogLog,
+            TDigest,
+        )
+
+        pids = batch[self.partition_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")
+        sorted_pids = pids[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_pids[1:] != sorted_pids[:-1]]))
+        bounds = np.append(starts, sorted_pids.size)
+        uniq = [str(k) for k in sorted_pids[starts]]
+        counts = np.diff(bounds)
+        take_idx = pa.array(order)
+
+        rows: list[tuple] = []
+        for name in self.stat_columns:
+            arr = batch[name].combine_chunks().take(take_idx)
+            numeric = _is_numeric(arr.type)
+            want_freq = (pa.types.is_string(arr.type)
+                         or pa.types.is_large_string(arr.type)
+                         or pa.types.is_integer(arr.type))
+            # per-partition null counts; valid values stay partition-sorted
+            if arr.null_count:
+                nullmask = arr.is_null().to_numpy(zero_copy_only=False)
+                nulls = np.add.reduceat(nullmask.astype(np.int64), starts)
+                valid = arr.drop_null()
+            else:
+                nulls = np.zeros(len(uniq), dtype=np.int64)
+                valid = arr
+            vcounts = counts - nulls
+            vbounds = np.concatenate([[0], np.cumsum(vcounts)])
+
+            v_all = (valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                     if numeric and len(valid) else None)
+            vals_all = valid.to_pandas().to_numpy() if len(valid) else None
+            # ONE hash pass per column (HLL input), shared by every slice
+            h_all = hash64(vals_all) if vals_all is not None else None
+            # ONE value-count per column: unique + bincount over
+            # (partition, value) codes, split per partition below
+            if want_freq and vals_all is not None:
+                u_vals, inv = np.unique(vals_all, return_inverse=True)
+                pid_codes = np.repeat(np.arange(len(uniq)), vcounts)
+                cnt = np.bincount(pid_codes * len(u_vals) + inv,
+                                  minlength=len(uniq) * len(u_vals))
+                cnt = cnt.reshape(len(uniq), len(u_vals))
+            else:
+                u_vals = cnt = None
+
+            for g, k in enumerate(uniq):
+                sl = slice(vbounds[g], vbounds[g + 1])
+                d = {"count": int(counts[g]), "nulls": int(nulls[g]),
+                     "min": None, "max": None, "sum": None, "sumsq": None,
+                     "hll": None, "tdigest": None, "freq": None}
+                n_valid = vbounds[g + 1] - vbounds[g]
+                if numeric and n_valid:
+                    v = v_all[sl]
+                    d["min"] = float(v.min())
+                    d["max"] = float(v.max())
+                    d["sum"] = float(v.sum())
+                    d["sumsq"] = float((v * v).sum())
+                    d["tdigest"] = TDigest().add_many(v).to_bytes()
+                if n_valid:
+                    d["hll"] = HyperLogLog().add_hashes(h_all[sl]).to_bytes()
+                    if cnt is not None:
+                        nz = np.flatnonzero(cnt[g])
+                        d["freq"] = FreqSketch().add_counts(
+                            u_vals[nz], cnt[g, nz]).to_bytes()
+                rows.append((KIND_STATS, k, name, 0, pickle.dumps(d)))
+        return rows
+
+
+def combine_partial_rows(batch: pa.Table) -> pa.Table:
+    """Pre-shuffle combiner over partial rows: merges same-group rows
+    WITHIN a collected batch of partials, cutting the suite shuffle's row
+    count by roughly the combine fan-in (bundles per combiner batch) —
+    measured, the groupby-merge over raw partials was ~25% of suite wall
+    at 600k clips (≈30µs per shuffled row), and the partial rows are tiny
+    so the cross-block bundler cost here is noise.
+
+    Exactness: count/nulls/min/max and the HLL / freq merges are
+    order-invariant, so combining early cannot change results.  Per-bundle
+    float sums are carried as LISTS (``sums``/``sumsqs``) so the final
+    reducer's ``math.fsum`` still sees every original bundle term and the
+    merged stats stay bit-identical for every block layout.  t-digest
+    partials merge here — the same operation the reducer would apply.
+    Idempotent: already-combined rows combine again (lists extend).
+    """
+    df = batch.to_pandas()
+    rows: list[tuple] = []
+
+    stats = df[df["kind"] == KIND_STATS]
+    for (pid, col), g in stats.groupby(["partition_id", "column"], sort=False):
+        parts = [pickle.loads(b) for b in g["payload"]]
+        if len(parts) == 1 and "sums" in parts[0]:
+            rows.append((KIND_STATS, pid, col, 0, g["payload"].iloc[0]))
+            continue
+        sums: list = []
+        sumsqs: list = []
+        mins: list = []
+        maxs: list = []
+        count = nulls = 0
+        acc: dict[str, Optional[Sketch]] = {"hll": None, "tdigest": None, "freq": None}
+        for p in parts:
+            count += p["count"]
+            nulls += p["nulls"]
+            if "sums" in p:
+                sums.extend(p["sums"])
+                sumsqs.extend(p["sumsqs"])
+            elif p["sum"] is not None:
+                sums.append(p["sum"])
+                sumsqs.append(p["sumsq"])
+            if p["min"] is not None:
+                mins.append(p["min"])
+                maxs.append(p["max"])
+            for f in acc:
+                if p[f] is not None:
+                    sk = Sketch.from_bytes(p[f])
+                    acc[f] = sk if acc[f] is None else acc[f].merge(sk)
+        d = {"count": int(count), "nulls": int(nulls),
+             "min": min(mins) if mins else None,
+             "max": max(maxs) if maxs else None,
+             "sums": sums, "sumsqs": sumsqs,
+             "hll": acc["hll"].to_bytes() if acc["hll"] is not None else None,
+             "tdigest": acc["tdigest"].to_bytes() if acc["tdigest"] is not None else None,
+             "freq": acc["freq"].to_bytes() if acc["freq"] is not None else None}
+        rows.append((KIND_STATS, pid, col, 0, pickle.dumps(d)))
+
+    # key rows pass through untouched: their counts are dominated by
+    # unique ids, so combining would do the reducer's python dict work
+    # TWICE without shrinking the data — the 32-way-parallel bucket
+    # reducer is the right (and only) place for it
+    keys = df[df["kind"] == KIND_KEYS]
+    for bucket, blob in zip(keys["bucket"], keys["payload"]):
+        rows.append((KIND_KEYS, "", "", int(bucket), blob))
+
+    viol = df[df["kind"] == KIND_VIOL]
+    if len(viol):
+        out: list[tuple] = []
+        for b in viol["payload"]:
+            out.extend(pickle.loads(b))
+        rows.append((KIND_VIOL, "", "", 0, pickle.dumps(out)))
+    return _rows_table(rows)
+
 
 def side_key_partials(key_col: str, side: int, num_buckets: int):
     """map_batches fn for an auxiliary keyed table (e.g. transcripts):
@@ -189,9 +339,17 @@ def _merge_stats_dict(g: pd.DataFrame) -> dict:
     # bit-identical stats (SURVEY.md §7.6 sketch-determinism requirement)
     import math
 
-    nums = [p for p in parts if p["sum"] is not None]
-    s = math.fsum(p["sum"] for p in nums) if nums else None
-    ssq = math.fsum(p["sumsq"] for p in nums) if nums else None
+    sums: list = []
+    sumsqs: list = []
+    for p in parts:
+        if "sums" in p:  # pre-combined row (combine_partial_rows)
+            sums.extend(p["sums"])
+            sumsqs.extend(p["sumsqs"])
+        elif p["sum"] is not None:
+            sums.append(p["sum"])
+            sumsqs.append(p["sumsq"])
+    s = math.fsum(sums) if sums else None
+    ssq = math.fsum(sumsqs) if sumsqs else None
     mean = s / valid if (s is not None and valid) else None
     stddev = None
     if ssq is not None and valid and valid > 1:

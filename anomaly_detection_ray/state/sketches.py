@@ -79,7 +79,13 @@ class HyperLogLog(Sketch):
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_many(self, values) -> "HyperLogLog":
-        h = hash64(values)
+        return self.add_hashes(hash64(values))
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Add precomputed ``hash64`` values — the fast path for partial
+        builders (stages/fused.py) that hash a whole column ONCE and slice
+        per partition group, instead of paying the fixed per-call hashing
+        cost once per (partition, column) cell."""
         if h.size == 0:
             return self
         p = np.uint64(self.p)
@@ -305,6 +311,16 @@ class FreqSketch(Sketch):
             key = "__null__" if (k is None or (isinstance(k, float) and np.isnan(k))) else str(k)
             self._bump(key, int(c))
         self.total += int(vc.sum())
+        return self
+
+    def add_counts(self, keys: Iterable, counts: Iterable[int]) -> "FreqSketch":
+        """Add pre-counted (key, count) pairs — the fast path for partial
+        builders that value-count a whole column once (one C-level unique/
+        bincount) and slice per partition group."""
+        for k, c in zip(keys, counts):
+            key = "__null__" if (k is None or (isinstance(k, float) and np.isnan(k))) else str(k)
+            self._bump(key, int(c))
+            self.total += int(c)
         return self
 
     def _bump(self, key: str, c: int) -> None:

@@ -124,3 +124,65 @@ class TestSideKeyPartials:
         assert set(out["kind"].to_pylist()) == {KIND_KEYS}
         sides = {pickle.loads(b)[0] for b in out["payload"].to_pylist()}
         assert sides == {1}
+
+
+class TestCombinePartialRows:
+    """Pre-shuffle combiner (combine_partial_rows): merged stats must be
+    BIT-identical with and without combining, and for every combine
+    layout — the float sums ride as lists so the reducer's fsum sees
+    every original bundle term (the layout-determinism design claim)."""
+
+    def _stats_rows(self, facts, n_bundles):
+        sp = SuitePartials(_ALL_STAT_COLS, PARTITION_COL, num_buckets=8,
+                           with_keys=True, checks=CHECKS)
+        chunks = [facts.slice(i * facts.num_rows // n_bundles,
+                              facts.num_rows // n_bundles)
+                  for i in range(n_bundles)]
+        return [sp(c) for c in chunks if c.num_rows]
+
+    def _merge_all(self, tables):
+        df = pa.concat_tables(tables).to_pandas()
+        stats = df[df["kind"] == KIND_STATS]
+        out = {}
+        for (pid, col), g in stats.groupby(["partition_id", "column"]):
+            out[(pid, col)] = _merge_stats_dict(g)
+        return out
+
+    def test_bit_identical_across_combine_layouts(self, facts):
+        from anomaly_detection_ray.stages.fused import combine_partial_rows
+
+        bundles = self._stats_rows(facts, 6)
+        plain = self._merge_all(bundles)
+        # layout A: combine all six bundles in one call
+        combined_a = [combine_partial_rows(pa.concat_tables(bundles))]
+        # layout B: two combiner calls over different groupings, then merge
+        combined_b = [combine_partial_rows(pa.concat_tables(bundles[:2])),
+                      combine_partial_rows(pa.concat_tables(bundles[2:]))]
+        # layout C: combiner applied twice (idempotence / chainability)
+        combined_c = [combine_partial_rows(pa.concat_tables(combined_b))]
+        for tag, tables in (("A", combined_a), ("B", combined_b), ("C", combined_c)):
+            got = self._merge_all(tables)
+            assert set(got) == set(plain), tag
+            for k in plain:
+                p, q = plain[k], got[k]
+                for f in ("count", "nulls", "min", "max", "mean", "stddev",
+                          "null_rate", "distinct_est"):
+                    assert p[f] == q[f], (tag, k, f, p[f], q[f])
+
+    def test_keys_and_violations_pass_through(self, facts):
+        from anomaly_detection_ray.stages.fused import combine_partial_rows
+
+        bundles = self._stats_rows(facts, 4)
+        raw = pa.concat_tables(bundles).to_pandas()
+        comb = combine_partial_rows(pa.concat_tables(bundles)).to_pandas()
+        # key rows: byte-identical pass-through
+        raw_keys = sorted(raw[raw["kind"] == KIND_KEYS]["payload"])
+        comb_keys = sorted(comb[comb["kind"] == KIND_KEYS]["payload"])
+        assert raw_keys == comb_keys
+        # violation tuples: same multiset after concatenation
+        def viols(df):
+            out = []
+            for b in df[df["kind"] == KIND_VIOL]["payload"]:
+                out.extend(pickle.loads(b))
+            return sorted(out)
+        assert viols(raw) == viols(comb)

@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_by_lang": textops.token_counts_by_lang,
         "doc_length_stats": textops.doc_length_stats,
         "doc_fingerprints": textops.doc_fingerprints,
+        "stratified_sample_docs": textops.stratified_sample_docs,
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
         "minhash_near_dups": textops.minhash_near_dups,
@@ -406,6 +407,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        # deterministic stratified sample: k lowest doc_ids per lang
+        # (pipelines/textops.py:stratified_sample_docs)
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
+            ORDER BY lang, doc_id
         """,
         # mirrors functions/text.py:detect_language's decision tree: han
         # ratio → zh; best stopword-profile hit with ties falling to the

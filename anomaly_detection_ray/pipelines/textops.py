@@ -61,6 +61,35 @@ def doc_length_stats(sf_dir: str) -> pd.DataFrame:
     }).sort_values("lang").reset_index(drop=True)
 
 
+def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic stratified sample: the ``k`` lowest doc_ids per lang,
+    DuckDB-oracled (QUALIFY row_number per lang).
+
+    The training-data sampling operator (build brief O6 family) as a
+    distributed per-group top-k: each batch emits at most k candidate ids
+    per lang it sees (np.partition partial), a tiny pandas reduce keeps
+    the global k — the ``embedding_topk`` partial/merge shape, never a
+    global sort, with per-stratum output bounded at k regardless of
+    stratum skew.
+    """
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in df.groupby("lang", observed=True):
+            ids = g["doc_id"].to_numpy()
+            if len(ids) > k:
+                ids = np.partition(ids, k - 1)[:k]
+            outs.append(pd.DataFrame({"lang": lang, "doc_id": ids}))
+        return pd.concat(outs, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["lang", "doc_id"])
+           .groupby("lang", observed=True).head(k))
+    return (out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Exact md5 content fingerprints (oracle: DuckDB md5())."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -297,9 +297,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10
         """,
+        # DECIMAL(38,16)-cast terms make the sum order-invariant (each
+        # double term rounds to 1e-16 grain, error ≤3e-10 over 6M terms);
+        # the Ray side sums exactly via math.fsum — both land well inside
+        # the round(…, 4) grain at the 1e10 total magnitude, where plain
+        # double sums drift ~1e-4 with summation order
         "revenue_by_orderstatus": """
             SELECT o_orderstatus,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,16))) AS DOUBLE), 4) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1

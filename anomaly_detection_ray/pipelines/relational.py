@@ -334,12 +334,14 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
 
 
 def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
-    """Hash-partitioned large join: lineitem ⋈ orders on the order key —
-    with the lineitem side PRE-AGGREGATED per order key through the blob
-    combiner first (one partial row per distinct l_orderkey instead of one
-    per lineitem row, ~4× fewer probe rows into the shuffle join;
-    VERDICT r1 performance audit #2).  n_items still counts lineitem ROWS
-    (the pre-agg carries the per-key row count through the join)."""
+    """Hash-partitioned large join: lineitem ⋈ orders on the order key,
+    expressed as ONE blob shuffle via ``fact_dim_rollup`` (stages/join.py):
+    fact blocks pre-aggregate per order key, dim blocks ship key→status
+    maps bucketed the same way, bucket reducers join + roll up to 3 rows
+    each — no raw row ever shuffles (replaces the Dataset.join version,
+    which moved ~3M keyed rows through Ray's sort-based exchange).
+    n_items still counts lineitem ROWS (the pre-agg carries the per-key
+    row count through the join)."""
     li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -349,18 +351,12 @@ def revenue_by_orderstatus(sf_dir: str) -> pd.DataFrame:
                                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
         })
 
-    per_key = grouped_sums(li.map_batches(rev, batch_format="pyarrow"),
-                           ["o_orderkey"], ["revenue"], count_alias="n_rows")
+    from anomaly_detection_ray.stages.join import fact_dim_rollup
+
     orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = per_key.join(orders, "inner", num_partitions=16, on=("o_orderkey",))
-
-    def status_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("o_orderstatus", observed=True)
-        return g.agg(revenue=("revenue", "sum"),
-                     n_rows=("n_rows", "sum")).reset_index()
-
-    agg = (joined.map_batches(status_partial, batch_format="pandas")
-           .to_pandas().groupby("o_orderstatus", as_index=False).sum())
+    agg = fact_dim_rollup(li.map_batches(rev, batch_format="pyarrow"), orders,
+                          "o_orderkey", ["revenue"], "o_orderstatus",
+                          count_alias="n_rows")
     return pd.DataFrame({
         "o_orderstatus": agg["o_orderstatus"],
         "revenue": agg["revenue"].round(4),

@@ -22,7 +22,7 @@ Strategy selection (documented partitioning assumptions):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -217,3 +217,100 @@ def referential_orphans(
         right_keys, "left_anti", num_partitions=num_partitions, on=(key,)
     )
     return definite.union(fp_orphans)
+
+
+def fact_dim_rollup(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    key: str,
+    sum_cols: Sequence[str],
+    dim_attr: str,
+    *,
+    num_partitions: int = 32,
+    count_alias: str = "__cnt__",
+) -> pd.DataFrame:
+    """Fact ⋈ dim + rollup by a dimension attribute through ONE blob
+    shuffle — the hash-partitioned join expressed in the repo's
+    partial/combiner idiom instead of ``Dataset.join``.
+
+    Each fact block pre-aggregates (key → partial sums + row count) and
+    splits the partial frame by ``hash64(key) % P``; each dim block ships
+    its (key → attr) pairs bucketed the same way; one ``groupby(bucket)``
+    reduce joins the two sides per bucket and rolls up to
+    O(distinct attr) rows.  The all-to-all moves O(blocks × buckets)
+    pickled blobs — never a raw fact row — and the reducer output is tiny,
+    so the caller's final combine is a driver-side formality.  Inner-join
+    semantics: fact keys missing from dim are dropped (count surviving
+    rows from the reducer if you need a coverage check).
+
+    Partitioning assumption: one bucket's distinct keys (both sides) fit
+    a worker heap — size ``num_partitions`` accordingly, exactly as for
+    ``key_integrity`` above.
+    """
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import bucket_of
+
+    sum_cols = list(sum_cols)
+
+    def fact_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key, observed=True)[sum_cols].sum()
+        g[count_alias] = df.groupby(key, observed=True).size()
+        g = g.reset_index()
+        buckets = bucket_of(g[key].to_numpy(), num_partitions)
+        rows_b, rows_blob = [], []
+        for b in np.unique(buckets):
+            rows_b.append(int(b))
+            rows_blob.append(pickle.dumps((0, g[buckets == b])))
+        return pa.table({"bucket": pa.array(rows_b, pa.int64()),
+                         "blob": pa.array(rows_blob, pa.binary())})
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[key, dim_attr]].drop_duplicates(key)
+        buckets = bucket_of(df[key].to_numpy(), num_partitions)
+        rows_b, rows_blob = [], []
+        for b in np.unique(buckets):
+            rows_b.append(int(b))
+            rows_blob.append(pickle.dumps((1, df[buckets == b])))
+        return pa.table({"bucket": pa.array(rows_b, pa.int64()),
+                         "blob": pa.array(rows_blob, pa.binary())})
+
+    tagged = fact.map_batches(fact_partial, batch_format="pyarrow").union(
+        dim.map_batches(dim_partial, batch_format="pyarrow"))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        facts, dims = [], []
+        for blob in g["blob"]:
+            side, frame = pickle.loads(blob)
+            (facts if side == 0 else dims).append(frame)
+        if not facts or not dims:
+            # typed empty frame: schema-less empty blocks trip Ray's
+            # bundle-schema check (same fix as the window pipelines)
+            return pd.DataFrame({dim_attr: pd.Series(dtype=object),
+                                 **{c: pd.Series(dtype="float64") for c in sum_cols},
+                                 count_alias: pd.Series(dtype="int64")})
+        f = pd.concat(facts, ignore_index=True).groupby(
+            key, observed=True)[sum_cols + [count_alias]].sum().reset_index()
+        d = pd.concat(dims, ignore_index=True).drop_duplicates(key)
+        j = f.merge(d, on=key, how="inner")
+        # math.fsum per group: a pairwise pandas sum over ~50k 1e8-scale
+        # partials drifts ~1e-5 per bucket — enough to flip a round(…, 4)
+        # oracle comparison at the final 1e10 magnitude.  Exactly-rounded
+        # sums keep the reducer error at one ulp regardless of row order.
+        import math
+
+        agg = {c: (c, lambda s: math.fsum(s)) for c in sum_cols}
+        out = j.groupby(dim_attr, observed=True).agg(
+            **agg, **{count_alias: (count_alias, "sum")}).reset_index()
+        return out
+
+    out = tagged.groupby("bucket").map_groups(
+        reduce_bucket, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=[dim_attr, *sum_cols, count_alias])
+    import math
+
+    agg = {c: (c, lambda s: math.fsum(s)) for c in sum_cols}
+    return out.groupby(dim_attr, observed=True, as_index=False).agg(
+        **agg, **{count_alias: (count_alias, "sum")})

@@ -268,3 +268,33 @@ class TestEmbeddingNearDups:
         got = set(map(tuple, lsh[["a", "b"]].to_numpy())) if len(lsh) else set()
         assert got <= exact                      # LSH can miss, never invent
         assert len(got) >= 0.8 * len(exact)      # recall bar on planted dups
+
+
+class TestFactDimRollup:
+    def test_matches_pandas_join(self, ray_session):
+        from anomaly_detection_ray.stages.join import fact_dim_rollup
+
+        rng = np.random.default_rng(9)
+        fact = pd.DataFrame({"k": rng.integers(0, 200, 5000),
+                             "x": rng.normal(10, 2, 5000)})
+        dim = pd.DataFrame({"k": np.arange(150),  # keys 150..199 have no dim row
+                            "grp": np.array(list("abc"))[np.arange(150) % 3]})
+        got = fact_dim_rollup(rd.from_pandas(fact), rd.from_pandas(dim),
+                              "k", ["x"], "grp", num_partitions=8)
+        want = (fact.merge(dim, on="k", how="inner").groupby("grp")
+                .agg(x=("x", "sum"), __cnt__=("k", "size")).reset_index())
+        got = got.sort_values("grp").reset_index(drop=True)
+        want = want.sort_values("grp").reset_index(drop=True)
+        assert list(got["grp"]) == list(want["grp"])
+        assert np.allclose(got["x"], want["x"])
+        assert list(got["__cnt__"].astype(int)) == list(want["__cnt__"])
+
+    def test_empty_sides(self, ray_session):
+        from anomaly_detection_ray.stages.join import fact_dim_rollup
+
+        fact = pd.DataFrame({"k": [1, 2], "x": [1.0, 2.0]})
+        dim = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                            "grp": pd.Series(dtype=object)})
+        out = fact_dim_rollup(rd.from_pandas(fact), rd.from_pandas(dim),
+                              "k", ["x"], "grp", num_partitions=4)
+        assert len(out) == 0 and list(out.columns) == ["grp", "x", "__cnt__"]

@@ -290,12 +290,48 @@ def exact_distinct_count(ds: ray.data.Dataset, col: str, num_buckets: int = 32) 
     return int(per_bucket["n"].sum())
 
 
+def exact_distinct_counts(ds: ray.data.Dataset, cols: Sequence[str],
+                          num_buckets: int = 32) -> dict[str, int]:
+    """Multi-column exact COUNT(DISTINCT): same packed-blob plan as
+    :func:`exact_distinct_count` but ONE read and ONE shuffle for all
+    columns — blobs are keyed (column, bucket), so per-(col, bucket)
+    reducers stay disjoint and their counts sum exactly per column."""
+    import pickle
+
+    from anomaly_detection_ray.functions.hashing import hash64
+
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_c, out_b, out_blob = [], [], []
+        for ci, col in enumerate(cols):
+            u = pc.unique(t[col]).to_numpy(zero_copy_only=False)
+            b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
+            for bb in np.unique(b):
+                out_c.append(ci)
+                out_b.append(int(bb))
+                out_blob.append(pickle.dumps(u[b == bb]))
+        return pa.table({"col": pa.array(out_c, pa.int64()),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "blob": pa.array(out_blob, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([pickle.loads(x) for x in g["blob"]])
+        return pd.DataFrame({"col": [int(g["col"].iloc[0])],
+                             "n": [len(np.unique(vals))]})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(["col", "bucket"]).map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    sums = per.groupby("col")["n"].sum()
+    return {col: int(sums.get(ci, 0)) for ci, col in enumerate(cols)}
+
+
 def distinct_counts(sf_dir: str) -> pd.DataFrame:
-    res = {}
-    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
-        ds = sf_table(sf_dir, "lineitem", columns=[col])
-        res[f"distinct_{col}"] = exact_distinct_count(ds, col)
-    return pd.DataFrame([res])
+    cols = ("l_partkey", "l_suppkey", "l_orderkey")
+    ds = sf_table(sf_dir, "lineitem", columns=list(cols))
+    n = exact_distinct_counts(ds, cols)
+    return pd.DataFrame([{f"distinct_{c}": n[c] for c in cols}])
 
 
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:

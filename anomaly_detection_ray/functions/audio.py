@@ -173,6 +173,71 @@ SPECTRAL_WINDOW = 4096
 QC_FEATURE_VERSION = 2
 
 
+def audio_qc_scalar_batch(sigs: list) -> dict:
+    """Vectorized scalar QC features for a BATCH of decoded clips.
+
+    Concatenates all signals once and computes rms / peak / clip_ratio /
+    zcr / silence_ratio per clip with segmented C-level reductions
+    (``np.add.reduceat`` / ``np.maximum.reduceat`` / cumulative crossing
+    counts) — the per-clip numpy calls in the decode loop paid ~50 µs of
+    fixed dispatch each, which at 8 features × 10^12 clips is the decode
+    stage's dominant cost once the FFT window is bounded.
+
+    Semantics match :func:`audio_qc_features` / the per-clip formulas
+    exactly for the integer-count features (zcr, clip/silence counts,
+    peak); rms accumulates in float64 (the per-clip ``np.dot`` on float32
+    differs by ~1e-7 relative).  Clips with <2 samples keep the per-clip
+    defaults (zcr 0, silence_ratio 1.0).  Empty list → empty arrays.
+
+    NOT wired into DecodeStats: on hosts where first-touch page faults
+    are expensive (this sandbox VM: ~50 µs/page, so the ~1.5 GB of fresh
+    numpy temps per call cost seconds), the per-clip loop with small
+    arena-reused temps is measurably faster.  Kept as the
+    agreement-tested vectorized reference for normal hosts.
+    """
+    m = len(sigs)
+    out = {"rms": np.zeros(m), "peak": np.zeros(m), "clip_ratio": np.zeros(m),
+           "zcr": np.zeros(m), "silence_ratio": np.ones(m)}
+    lens = np.array([s.size for s in sigs], dtype=np.int64)
+    if m == 0 or lens.sum() == 0:
+        out["silence_ratio"] = np.where(lens >= 2, out["silence_ratio"], 1.0)
+        return out
+    nz = np.flatnonzero(lens > 0)
+    cat = np.concatenate([sigs[i] for i in nz]).astype(np.float32, copy=False)
+    clens = lens[nz]
+    offs = np.concatenate([[0], np.cumsum(clens)])
+    starts = offs[:-1]
+
+    a = np.abs(cat)
+    sq = cat.astype(np.float64)
+    sq *= sq
+    rms = np.sqrt(np.add.reduceat(sq, starts) / clens)
+    peak = np.maximum.reduceat(a, starts).astype(np.float64)
+    clip_cnt = np.add.reduceat((a >= 0.999).astype(np.int64), starts)
+
+    # zero crossings per segment WITHOUT counting the seams between
+    # concatenated clips: cumulative crossing counts, differenced at the
+    # segment interiors (robust for length-1 segments, unlike reduceat)
+    sb = np.signbit(cat)
+    dfull = (sb[1:] != sb[:-1]).astype(np.int64)
+    c = np.concatenate([[0], np.cumsum(dfull)])
+    crossings = c[np.maximum(offs[1:] - 1, starts)] - c[starts]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        zcr = np.where(clens > 1, crossings / np.maximum(clens - 1, 1), 0.0)
+
+    thresh = np.maximum(peak, 1e-12) * 0.01
+    sil_cnt = np.add.reduceat((a < np.repeat(thresh, clens)).astype(np.int64),
+                              starts)
+
+    out["rms"][nz] = rms
+    out["peak"][nz] = peak
+    out["clip_ratio"][nz] = clip_cnt / clens
+    out["zcr"][nz] = zcr
+    sil = np.where(clens >= 2, sil_cnt / clens, 1.0)
+    out["silence_ratio"][nz] = sil
+    return out
+
+
 def audio_qc_features(sig: np.ndarray, sr_hz: int) -> dict:
     """Per-clip audio quality-control features (the per-row validation the
     north rule's audio axis adds on top of the reference's table-level
@@ -197,17 +262,27 @@ def audio_qc_features(sig: np.ndarray, sr_hz: int) -> dict:
     peak = float(np.abs(x).max())
     thresh = max(peak, 1e-12) * 0.01
     out["silence_ratio"] = float((np.abs(x) < thresh).mean())
-    # Spectral features on a BOUNDED analysis window (≤4096 samples ≈ ¼ s
-    # at 16 kHz), zero-padded to the next power of two: rfft on awkward
-    # prime-factor lengths degrades badly, and an unbounded window would
-    # make a 2-hour clip cost 1000× a 1-second one in the QC stage — the
-    # per-row cost must stay O(window), not O(clip), at 10^12-clip scale.
-    # 4096 keeps ~4 Hz bin resolution at 16 kHz — ample for QC-grade
-    # centroid/dominant/band-split features — and cuts the FFT share of
-    # the decode stage ~7× vs the previous 16384 window (the numpy rfft
-    # is the measured majority of per-clip QC cost).  Bump
-    # QC_FEATURE_VERSION when changing analysis parameters: drift
-    # baselines are cached keyed on it.
+    cen, dom, lowr = spectral_features(x, sr_hz)
+    out["spectral_centroid_hz"] = cen
+    out["dominant_hz"] = dom
+    out["low_band_ratio"] = lowr
+    return out
+
+
+def spectral_features(x: np.ndarray, sr_hz: int) -> tuple:
+    """(centroid_hz, dominant_hz, low_band_ratio) on a BOUNDED analysis
+    window (≤SPECTRAL_WINDOW samples ≈ ¼ s at 16 kHz), zero-padded to the
+    next power of two: rfft on awkward prime-factor lengths degrades
+    badly, and an unbounded window would make a 2-hour clip cost 1000× a
+    1-second one in the QC stage — the per-row cost must stay O(window),
+    not O(clip), at 10^12-clip scale.  4096 keeps ~4 Hz bin resolution at
+    16 kHz — ample for QC-grade features — and cuts the FFT share of the
+    decode stage ~7× vs the earlier 16384 window (the numpy rfft is the
+    measured majority of per-clip QC cost).  Bump QC_FEATURE_VERSION when
+    changing analysis parameters: drift baselines are cached keyed on it.
+    """
+    if x.size < 2 or sr_hz <= 0:
+        return 0.0, 0.0, 0.0
     w = x[:SPECTRAL_WINDOW]
     nfft = 1 << int(np.ceil(np.log2(w.size)))
     spec = np.abs(np.fft.rfft(w, n=nfft))
@@ -217,8 +292,8 @@ def audio_qc_features(sig: np.ndarray, sr_hz: int) -> dict:
         total = float(power.sum())
         freqs = np.arange(spec.size) * (sr_hz / 2.0 / max(spec.size - 1, 1))
         if total > 0:
-            out["spectral_centroid_hz"] = float((freqs * power).sum() / total)
-            out["dominant_hz"] = float(freqs[int(power.argmax())])
             lo = freqs < 1000.0
-            out["low_band_ratio"] = float(power[lo].sum() / total)
-    return out
+            return (float((freqs * power).sum() / total),
+                    float(freqs[int(power.argmax())]),
+                    float(power[lo].sum() / total))
+    return 0.0, 0.0, 0.0

@@ -19,7 +19,11 @@ import numpy as np
 import pyarrow as pa
 
 from anomaly_detection_ray.config import DUR_MS_TOLERANCE
-from anomaly_detection_ray.functions.audio import AudioDecodeError, audio_qc_features, decode_wav
+from anomaly_detection_ray.functions.audio import (
+    AudioDecodeError,
+    audio_qc_features,
+    decode_wav,
+)
 
 
 class DecodeStats:
@@ -52,6 +56,16 @@ class DecodeStats:
         dominant_hz = np.zeros(n, dtype=np.float64)
         low_band_ratio = np.zeros(n, dtype=np.float64)
 
+        # PER-CLIP scalar features, deliberately: a whole-batch segmented
+        # pass (audio_qc_scalar_batch) allocates ~1.5 GB of fresh numpy
+        # temps per call, and on this VM first-touch page faults cost
+        # ~50 µs/page (measured: np.abs over 26M floats is 19 ms into a
+        # warm buffer, 1.1-1.4 s freshly allocated — glibc munmaps large
+        # temps back to the OS every call).  Per-clip temps stay under the
+        # mmap threshold and reuse allocator arenas, so the "slow" loop is
+        # ~7× faster end-to-end here.  audio_qc_scalar_batch remains the
+        # vectorized reference (agreement-tested) for hosts with sane
+        # fault costs.
         for i in range(n):  # per-payload loop is inherent: variable-length codec parse
             try:
                 sig, sr, codec = decode_wav(payloads[i])

@@ -92,3 +92,40 @@ def test_generator_invariant_snr_and_transcript():
             assert tr_map[cid] == clips["transcript"][i].as_py()
         ok_checked += 1
     assert ok_checked > 150
+
+
+class TestScalarBatchAgreement:
+    """audio_qc_scalar_batch must agree with the per-clip reference
+    formulas: integer-count features exactly, rms within float32-vs-
+    float64 accumulation tolerance."""
+
+    def test_batch_matches_per_clip(self):
+        import numpy as np
+
+        from anomaly_detection_ray.functions.audio import (
+            audio_qc_features,
+            audio_qc_scalar_batch,
+        )
+
+        rng = np.random.default_rng(5)
+        sigs = [rng.normal(0, 0.3, n).astype(np.float32)
+                for n in (0, 1, 2, 7, 500, 4096, 20000)]
+        sigs.append(np.ones(64, dtype=np.float32))          # fully clipped
+        sigs.append(np.zeros(64, dtype=np.float32))         # fully silent
+        feats = audio_qc_scalar_batch(sigs)
+        for i, s in enumerate(sigs):
+            ref = audio_qc_features(s, 16000)
+            assert feats["zcr"][i] == ref["zcr"], i
+            assert feats["silence_ratio"][i] == ref["silence_ratio"], i
+            if s.size:
+                a = np.abs(s)
+                assert feats["peak"][i] == float(a.max()), i
+                assert feats["clip_ratio"][i] == float((a >= 0.999).mean()), i
+                want_rms = float(np.sqrt(np.dot(s.astype(np.float64), s.astype(np.float64)) / s.size))
+                assert abs(feats["rms"][i] - want_rms) <= 1e-9 * max(want_rms, 1), i
+
+    def test_empty_batch(self):
+        from anomaly_detection_ray.functions.audio import audio_qc_scalar_batch
+
+        feats = audio_qc_scalar_batch([])
+        assert all(len(v) == 0 for v in feats.values())

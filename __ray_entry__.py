@@ -217,13 +217,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT user_id) AS distinct_user_id FROM events
         """,
         "q1_pricing_summary": """
+            -- DECIMAL(38,16)-cast sums are order-invariant and match the
+            -- Ray side's math.fsum exactly-rounded totals (see
+            -- revenue_by_orderstatus for the drift analysis)
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2)                          AS sum_qty,
-                   round(sum(l_extendedprice), 2)                     AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 4)               AS avg_qty,
-                   round(sum(l_extendedprice) / count(*), 4)          AS avg_price,
-                   round(sum(l_discount) / count(*), 4)               AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(38,16))) AS DOUBLE), 2)
+                       AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,16))) AS DOUBLE), 2)
+                       AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,16))) AS DOUBLE), 4)
+                       AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(38,16))) AS DOUBLE)
+                         / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,16))) AS DOUBLE)
+                         / count(*), 4) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(38,16))) AS DOUBLE)
+                         / count(*), 4) AS avg_disc,
                    count(*)                                           AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -42,6 +42,7 @@ def grouped_sums(
     sum_cols: Sequence[str],
     count_alias: str = "__cnt__",
     num_buckets: int = 32,
+    exact_sums: bool = False,
 ) -> ray.data.Dataset:
     """Grouped sums + count via the blob-combiner pattern: each block
     pre-aggregates with pandas, splits its partial frame into
@@ -51,7 +52,15 @@ def grouped_sums(
     so for high-cardinality keys (e.g. (event_type, hour) windows) this is
     the difference between sub-second and tens of seconds.  Bucketing by
     key hash keeps hot keys (skew) spread only across blocks, never
-    reducers, and each reducer merges with one C-level pandas groupby."""
+    reducers, and each reducer merges with one C-level pandas groupby.
+
+    ``exact_sums=True`` switches every float sum (partial AND merge) to
+    ``math.fsum``: use it for LOW-cardinality keys whose totals reach
+    magnitudes where pairwise-summation order drift (~1e-4 at 1e10 over
+    millions of terms) would cross the oracle's rounding grain.  It costs
+    one Python fsum per (block, key, column) — fine for a handful of
+    groups, wrong for per-entity keys."""
+    import math
     import pickle
 
     from anomaly_detection_ray.functions.hashing import combine_columns, hash64
@@ -59,9 +68,14 @@ def grouped_sums(
     keys = list(keys)
     sum_cols = list(sum_cols)
 
+    def _gsum(g, cols):
+        if not exact_sums:
+            return g[cols].sum()
+        return g[cols].agg(lambda s: math.fsum(s))
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, dropna=False, observed=True)
-        out = g[sum_cols].sum() if sum_cols else pd.DataFrame(index=g.size().index)
+        out = _gsum(g, sum_cols) if sum_cols else pd.DataFrame(index=g.size().index)
         out[count_alias] = g.size()
         out = out.reset_index()
         kh = (combine_columns(*[out[k] for k in keys]) if len(keys) > 1
@@ -75,7 +89,7 @@ def grouped_sums(
         frames = [pickle.loads(b) for b in g["blob"]]
         cat = pd.concat(frames, ignore_index=True)
         gg = cat.groupby(keys, dropna=False, observed=True)
-        out = gg[sum_cols].sum() if sum_cols else pd.DataFrame(index=gg.size().index)
+        out = _gsum(gg, sum_cols) if sum_cols else pd.DataFrame(index=gg.size().index)
         out[count_alias] = gg[count_alias].sum()
         return out.reset_index()
 
@@ -143,10 +157,15 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "disc_price": disc_price,
         })
 
+    # exact_sums: sum_disc_price reaches ~1e10 and is rounded to 4
+    # decimals — pairwise-summation order drift (~1e-4) exceeds that
+    # grain, so only exactly-rounded sums compare stably against the
+    # DECIMAL-cast oracle
     agg = grouped_sums(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         ["l_quantity", "l_extendedprice", "disc_price", "l_discount"],
+        exact_sums=True,
     ).to_pandas()
     n = agg["__cnt__"]
     out = pd.DataFrame({

@@ -200,7 +200,6 @@ def audio_qc_scalar_batch(sigs: list) -> dict:
            "zcr": np.zeros(m), "silence_ratio": np.ones(m)}
     lens = np.array([s.size for s in sigs], dtype=np.int64)
     if m == 0 or lens.sum() == 0:
-        out["silence_ratio"] = np.where(lens >= 2, out["silence_ratio"], 1.0)
         return out
     nz = np.flatnonzero(lens > 0)
     cat = np.concatenate([sigs[i] for i in nz]).astype(np.float32, copy=False)

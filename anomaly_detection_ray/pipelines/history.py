@@ -322,7 +322,10 @@ def drift_halves_exact(sf_dir: str) -> pd.DataFrame:
         return pa.table({"event_type": t["event_type"], "value": t["value"],
                          "c0": 1 - h, "c1": h})
 
-    labeled = ds.map_batches(label, batch_format="pyarrow")
+    # materialize once: both grouped passes below consume the same tiny
+    # (event_type, value, c0, c1) projection — without this each
+    # grouped_sums re-executes the parquet read + labeling
+    labeled = ds.map_batches(label, batch_format="pyarrow").materialize()
 
     # exact KS over value: cumulative-CDF sup-difference on the distinct-
     # value count table (ordered cumsum → same doubles as the oracle's
@@ -397,14 +400,21 @@ def value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     """
     import math
 
-    from anomaly_detection_ray.stages.stats import exact_order_stats
+    from anomaly_detection_ray.stages.stats import column_stats, exact_order_stats
+    from anomaly_detection_ray.state.sketches import Sketch
 
     qs = [0.25, 0.5, 0.75, 0.95, 0.99]
     ds = sf_table(sf_dir, "events", columns=["value"])
-    n = ds.count()
+    # ranks are over NON-NULL values (the oracle's count(value) and the
+    # counting pass both exclude nulls) — one stats pass yields both the
+    # non-null count and the bracketing t-digest
+    stats = column_stats(ds, ["value"], with_sketches=True).to_pandas()
+    n = int(stats["count"].iloc[0] - stats["nulls"].iloc[0])
+    td = Sketch.from_bytes(stats["tdigest"].iloc[0])
     klo = [math.floor((n - 1) * q) for q in qs]
     khi = [min(k + 1, n - 1) for k in klo]
-    vals = exact_order_stats(ds, "value", sorted(set(klo) | set(khi)), n=n)
+    vals = exact_order_stats(ds, "value", sorted(set(klo) | set(khi)),
+                             n=n, tdigest=td)
     return pd.DataFrame({
         "q": np.asarray(qs, dtype=np.float64),
         "rank_lo": np.asarray(klo, dtype=np.int64),

@@ -71,7 +71,9 @@ def grouped_sums(
     def _gsum(g, cols):
         if not exact_sums:
             return g[cols].sum()
-        return g[cols].agg(lambda s: math.fsum(s))
+        # dropna first: pandas .sum() skips NaN, fsum would propagate it —
+        # the exactness flag must not change null semantics
+        return g[cols].agg(lambda s: math.fsum(s.dropna()))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, dropna=False, observed=True)
@@ -116,11 +118,18 @@ def latest_per_key(
         idx = df.groupby(key, observed=True)[ts_col].idxmax()
         return df.loc[idx]
 
+    empty = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                          "blob": pd.Series(dtype=object)})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # typed empty: schema-less blocks trip Ray's check
+            return empty
         w = block_latest(df).reset_index(drop=True)
         buckets = bucket_of(w[key].to_numpy(), num_buckets)
         rows = [(int(b), pickle.dumps(w[buckets == b]))
                 for b in np.unique(buckets)]
+        if not rows:
+            return empty
         return pd.DataFrame(rows, columns=["bucket", "blob"])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -299,33 +308,10 @@ def column_stats_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 def exact_distinct_count(ds: ray.data.Dataset, col: str, num_buckets: int = 32) -> int:
-    """Exact distributed COUNT(DISTINCT col): per-block unique values are
-    hash-bucketed and shipped as packed array blobs; each reducer counts
-    the union of its (disjoint) value-space slice and the per-bucket
-    counts sum to the exact answer.  Individual values never become
-    shuffle ROWS (30µs/row in Ray's sort-aggregate — stages/fused.py)."""
-    import pickle
-
-    from anomaly_detection_ray.functions.hashing import hash64
-
-    def partial(t: pa.Table) -> pa.Table:
-        u = pc.unique(t[col]).to_numpy(zero_copy_only=False)
-        b = (hash64(u) % np.uint64(num_buckets)).astype(np.int64)
-        out_b, out_blob = [], []
-        for bb in np.unique(b):
-            out_b.append(int(bb))
-            out_blob.append(pickle.dumps(u[b == bb]))
-        return pa.table({"bucket": pa.array(out_b, pa.int64()),
-                         "blob": pa.array(out_blob, pa.binary())})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.concatenate([pickle.loads(x) for x in g["blob"]])
-        return pd.DataFrame({"n": [len(np.unique(vals))]})
-
-    per_bucket = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-                  .groupby("bucket").map_groups(merge, batch_format="pandas")
-                  .to_pandas())
-    return int(per_bucket["n"].sum())
+    """Exact distributed COUNT(DISTINCT col) — delegates to the
+    multi-column plan (one packed-blob shuffle; see
+    :func:`exact_distinct_counts`)."""
+    return exact_distinct_counts(ds, [col], num_buckets=num_buckets)[col]
 
 
 def exact_distinct_counts(ds: ray.data.Dataset, cols: Sequence[str],

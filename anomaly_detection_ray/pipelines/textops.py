@@ -74,6 +74,9 @@ def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "lang"])
 
+    empty = pd.DataFrame({"lang": pd.Series(dtype=object),
+                          "doc_id": pd.Series(dtype="int64")})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for lang, g in df.groupby("lang", observed=True):
@@ -81,6 +84,8 @@ def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
             if len(ids) > k:
                 ids = np.partition(ids, k - 1)[:k]
             outs.append(pd.DataFrame({"lang": lang, "doc_id": ids}))
+        if not outs:  # empty block: typed empty frame keeps the schema
+            return empty
         return pd.concat(outs, ignore_index=True)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()

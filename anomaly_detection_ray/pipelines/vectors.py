@@ -60,7 +60,12 @@ def embedding_topk(sf_dir: str, num_queries: int = _NUM_QUERIES, k: int = _TOP_K
         sims = Xn @ Qn_.T  # (batch, queries)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        # total-order top-k (score DESC, vec_id ASC): argpartition alone
+        # keeps an arbitrary subset when scores tie at the k-th rank,
+        # which the oracle's row_number tie-break cannot reproduce
+        part = np.empty((kk, sims.shape[1]), dtype=np.int64)
+        for j in range(sims.shape[1]):
+            part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
         rows = {
             "query_id": np.repeat(qids_, kk),
             "vec_id": ids[part].T.ravel(),
@@ -351,7 +356,10 @@ def knn_exact_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         labels = t["label"].to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        # total-order top-k (score DESC, vec_id ASC) — see embedding_topk
+        part = np.empty((kk, sims.shape[1]), dtype=np.int64)
+        for j in range(sims.shape[1]):
+            part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
         return pa.table({
             "query_id": np.repeat(qids_, kk),
             "vec_id": ids[part].T.ravel(),

@@ -250,7 +250,12 @@ def combine_partial_rows(batch: pa.Table) -> pa.Table:
     float sums are carried as LISTS (``sums``/``sumsqs``) so the final
     reducer's ``math.fsum`` still sees every original bundle term and the
     merged stats stay bit-identical for every block layout.  t-digest
-    partials merge here — the same operation the reducer would apply.
+    merge is NOT associative, so combined digests (like the reducer's own
+    merge, before or after this combiner existed) are approximations whose
+    centroids depend on merge topology; merges run in canonical
+    (payload-byte-sorted) order so a fixed partial set always merges the
+    same way, and the KS drift comparison tolerates centroid-level noise
+    by construction (threshold 0.15 vs ~1e-3 topology jitter).
     Idempotent: already-combined rows combine again (lists extend).
     """
     df = batch.to_pandas()
@@ -258,7 +263,7 @@ def combine_partial_rows(batch: pa.Table) -> pa.Table:
 
     stats = df[df["kind"] == KIND_STATS]
     for (pid, col), g in stats.groupby(["partition_id", "column"], sort=False):
-        parts = [pickle.loads(b) for b in g["payload"]]
+        parts = [pickle.loads(b) for b in sorted(g["payload"])]
         if len(parts) == 1 and "sums" in parts[0]:
             rows.append((KIND_STATS, pid, col, 0, g["payload"].iloc[0]))
             continue
@@ -330,7 +335,11 @@ def _merge_stats_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _merge_stats_dict(g: pd.DataFrame) -> dict:
-    parts = [pickle.loads(b) for b in g["payload"]]
+    # sort by serialized payload: groupby delivers rows in shuffle order,
+    # and t-digest merges are not associative — a canonical merge order
+    # makes the merged sketch deterministic for a FIXED set of partials
+    # (order-invariant sketches are unaffected)
+    parts = [pickle.loads(b) for b in sorted(g["payload"])]
     count = int(sum(p["count"] for p in parts))
     nulls = int(sum(p["nulls"] for p in parts))
     valid = count - nulls

@@ -261,16 +261,21 @@ def exact_order_stats(
     TDigest), mirroring how the reference pins its approximate detectors
     with exact twins in tests.
     """
-    if n is None:
-        n = ds.count()
+    if tdigest is None or n is None:
+        # one stats pass covers both missing inputs; n is the NON-NULL
+        # count — ranks index the null-free order statistics
+        stats = column_stats(ds, [col], with_sketches=True).to_pandas()
+        if n is None:
+            n = int(stats["count"].iloc[0] - stats["nulls"].iloc[0])
+        if n == 0:
+            return {}
+        if tdigest is None:
+            from anomaly_detection_ray.state.sketches import Sketch
+
+            tdigest = Sketch.from_bytes(stats["tdigest"].iloc[0])
     if n == 0:
         return {}
     ranks = sorted(set(int(r) for r in ranks))
-    if tdigest is None:
-        stats = column_stats(ds, [col], with_sketches=True).to_pandas()
-        from anomaly_detection_ray.state.sketches import Sketch
-
-        tdigest = Sketch.from_bytes(stats["tdigest"].iloc[0])
 
     resolved: dict[int, float] = {}
     pads = {r: pad for r in ranks}

@@ -298,3 +298,30 @@ class TestFactDimRollup:
         out = fact_dim_rollup(rd.from_pandas(fact), rd.from_pandas(dim),
                               "k", ["x"], "grp", num_partitions=4)
         assert len(out) == 0 and list(out.columns) == ["grp", "x", "__cnt__"]
+
+
+class TestGroupedSumsExact:
+    def test_exact_sums_skip_nan_like_pandas(self, ray_session):
+        from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+        df = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                           "x": [1.0, np.nan, 2.0, 3.0]})
+        for exact in (False, True):
+            out = grouped_sums(rd.from_pandas(df), ["k"], ["x"],
+                               exact_sums=exact).to_pandas().set_index("k")
+            assert out.loc["a", "x"] == 1.0, exact  # NaN skipped, not propagated
+            assert out.loc["b", "x"] == 5.0, exact
+
+    def test_exact_sums_exactly_rounded(self, ray_session):
+        import math
+
+        from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+        # values chosen so pairwise and sequential double sums differ
+        rng = np.random.default_rng(7)
+        v = (rng.uniform(0, 1, 20_000) * 10.0 ** rng.integers(-8, 8, 20_000))
+        df = pd.DataFrame({"k": ["g"] * len(v), "x": v})
+        out = grouped_sums(rd.from_pandas(df), ["k"], ["x"],
+                           exact_sums=True).to_pandas()
+        # single block → partial fsum IS the exactly-rounded total
+        assert out["x"].iloc[0] == math.fsum(v)

@@ -80,3 +80,15 @@ def combine_columns(*cols) -> np.ndarray:
             with np.errstate(over="ignore"):
                 acc = (acc * np.uint64(0x9E3779B97F4A7C15) + h) & _MASK64
     return acc
+
+
+def blob_rows_frame(rows) -> "pd.DataFrame":
+    """Typed ``(bucket:int64, blob:object)`` frame for blob-shuffle
+    partials.  ``rows`` may be empty: a bare ``pd.DataFrame([], columns=…)``
+    gives object-dtype ``bucket``, and the resulting schema-less empty
+    block diverges from the int64 blocks of non-empty batches — tripping
+    Ray's bundle-schema check downstream."""
+    if not rows:
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "blob": pd.Series(dtype=object)})
+    return pd.DataFrame(rows, columns=["bucket", "blob"])

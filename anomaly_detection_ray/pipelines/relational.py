@@ -63,7 +63,7 @@ def grouped_sums(
     import math
     import pickle
 
-    from anomaly_detection_ray.functions.hashing import combine_columns, hash64
+    from anomaly_detection_ray.functions.hashing import blob_rows_frame, combine_columns, hash64
 
     keys = list(keys)
     sum_cols = list(sum_cols)
@@ -85,7 +85,7 @@ def grouped_sums(
         buckets = (kh % np.uint64(num_buckets)).astype(np.int64)
         rows = [(int(b), pickle.dumps(out[buckets == b]))
                 for b in np.unique(buckets)]
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         frames = [pickle.loads(b) for b in g["blob"]]
@@ -112,25 +112,20 @@ def latest_per_key(
     this operator's wall time once the read was warm."""
     import pickle
 
-    from anomaly_detection_ray.functions.hashing import bucket_of
+    from anomaly_detection_ray.functions.hashing import blob_rows_frame, bucket_of
 
     def block_latest(df: pd.DataFrame) -> pd.DataFrame:
         idx = df.groupby(key, observed=True)[ts_col].idxmax()
         return df.loc[idx]
 
-    empty = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
-                          "blob": pd.Series(dtype=object)})
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):  # typed empty: schema-less blocks trip Ray's check
-            return empty
+        if not len(df):
+            return blob_rows_frame([])
         w = block_latest(df).reset_index(drop=True)
         buckets = bucket_of(w[key].to_numpy(), num_buckets)
         rows = [(int(b), pickle.dumps(w[buckets == b]))
                 for b in np.unique(buckets)]
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         frames = [pickle.loads(b) for b in g["blob"]]

@@ -188,7 +188,7 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
     the smaller doc's set (exact-verified on the candidates)."""
     import pickle
 
-    from anomaly_detection_ray.functions.hashing import hash64 as _h64
+    from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64 as _h64
     from anomaly_detection_ray.functions.text import winnow_fingerprints
 
     num_buckets = 16
@@ -202,13 +202,13 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
             fps.append(f)
             ids.append(np.full(f.size, i, dtype=object))
         if not fps:
-            return pd.DataFrame({"bucket": [], "blob": []})
+            return blob_rows_frame([])
         allf = np.concatenate(fps)
         alli = np.concatenate(ids)
         buckets = (allf % np.uint64(num_buckets)).astype(np.int64)
         rows = [(int(b), pickle.dumps((allf[buckets == b], alli[buckets == b])))
                 for b in np.unique(buckets)]
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     def shared_counts(g: pd.DataFrame) -> pd.DataFrame:
         parts = [pickle.loads(x) for x in g["blob"]]

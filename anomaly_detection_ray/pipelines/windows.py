@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from anomaly_detection_ray.functions.hashing import hash64
+from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64
 from anomaly_detection_ray.sources.readers import sf_table
 
 SESSION_GAP_S = 30 * 60
@@ -39,7 +39,7 @@ def _user_series_partials(num_buckets: int):
         buckets = (hash64(users.astype(object)) % np.uint64(num_buckets)).astype(np.int64)
         rows = [(int(b), pickle.dumps(df[buckets == b]))
                 for b in np.unique(buckets)]
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     return partial
 
@@ -151,7 +151,7 @@ def asof_join_events(sf_dir: str, probe_type: str = "click",
         buckets = (hash64(users.astype(object)) % np.uint64(num_buckets)).astype(np.int64)
         rows = [(int(b), pickle.dumps(df[buckets == b]))
                 for b in np.unique(buckets)]
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                           "user_id": pd.Series(dtype="int64"),

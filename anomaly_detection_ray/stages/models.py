@@ -48,7 +48,7 @@ def fit_entity_models(
     """
     import pickle
 
-    from anomaly_detection_ray.functions.hashing import hash64
+    from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64
 
     cols = list(cols)
     proj = [entity_col] + [c for c in cols if c != entity_col]
@@ -64,7 +64,7 @@ def fit_entity_models(
         bcol = np.array([bmap[e] for e in ents])
         rows = [(int(b), pickle.dumps(head[bcol == b]))
                 for b in np.unique(bcol)]
-        return pd.DataFrame(rows, columns=["bucket", "blob"])
+        return blob_rows_frame(rows)
 
     def fit(g: pd.DataFrame) -> pd.DataFrame:
         cat = pd.concat([pickle.loads(x) for x in g["blob"]], ignore_index=True)

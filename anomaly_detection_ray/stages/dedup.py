@@ -441,6 +441,10 @@ def simhash_near_duplicates(
             logging.getLogger(__name__).warning(
                 "simhash band-bucket cap (64) dropped %d docs from oversized "
                 "buckets — near-dup recall is reduced for those", dropped)
+        if not rows:  # typed empty: most buckets yield no pairs
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
     allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -407,9 +407,13 @@ def validate_clips(
         for pid in partitions:
             vt = _verdicts_to_arrow(verdicts[verdicts[PARTITION_COL] == pid])
             vio = violations[violations[PARTITION_COL] == pid]
+            # stats WITH sketch bytes: the checkpoint's mergeable state
+            # (lineage + stats metrics per the north rule)
+            st = stats_df[stats_df[PARTITION_COL] == pid]
             checkpoint.write_partition(
                 pid, vt,
-                pa.Table.from_pandas(vio, schema=VIOLATION_SCHEMA, preserve_index=False))
+                pa.Table.from_pandas(vio, schema=VIOLATION_SCHEMA, preserve_index=False),
+                pa.Table.from_pandas(st, preserve_index=False))
 
     return ValidationResult(verdicts, violations, stats_df.drop(
         columns=[c for c in ("hll", "tdigest", "freq") if c in stats_df]))

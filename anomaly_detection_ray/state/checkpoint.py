@@ -70,10 +70,18 @@ class RunCheckpoint:
         partition_id: str,
         verdicts: pa.Table,
         violations: Optional[pa.Table] = None,
+        stats: Optional[pa.Table] = None,
     ) -> None:
         """Atomic per-partition write (temp dir + rename), then manifest
-        update — the unit of resume."""
-        for kind, tbl in (("verdicts", verdicts), ("violations", violations)):
+        update — the unit of resume.
+
+        ``stats`` carries the partition's per-column stats INCLUDING the
+        mergeable sketch bytes (north rule: checkpoints carry lineage IDs
+        and stats metrics): a later run over grown data can merge the
+        saved sketches with fresh partials instead of re-decoding
+        finished partitions."""
+        for kind, tbl in (("verdicts", verdicts), ("violations", violations),
+                          ("stats", stats)):
             if tbl is None:
                 continue
             final = self._part_dir(kind, partition_id)

@@ -32,6 +32,38 @@ def _batch_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+
+def _topk_partial_fn(q_ref, k: int, extra_cols: tuple = ()):
+    """Build the per-batch cosine top-k partial shared by the oracled
+    brute-force queries: broadcast (qids, normalized Q) fetched once per
+    worker, one matmul per batch, total-order top-k (score DESC, vec_id
+    ASC — argpartition alone keeps an arbitrary subset on rank-k score
+    ties, which the oracle's row_number tie-break cannot reproduce)."""
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        cache = topk_partial.__dict__
+        if "q" not in cache:
+            cache["q"] = ray.get(q_ref)
+        qids_, Qn_ = cache["q"]
+        X = _batch_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Qn_.T  # (batch, queries)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        part = np.empty((kk, sims.shape[1]), dtype=np.int64)
+        for j in range(sims.shape[1]):
+            part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
+        cols = {"query_id": np.repeat(qids_, kk),
+                "vec_id": ids[part].T.ravel()}
+        for c in extra_cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols[c] = v[part].T.ravel()
+        cols["score"] = np.take_along_axis(sims, part, axis=0).T.ravel()
+        return pa.table(cols)
+
+    return topk_partial
+
+
 def embedding_topk(sf_dir: str, num_queries: int = _NUM_QUERIES, k: int = _TOP_K) -> pd.DataFrame:
     """Cosine top-k of every vector against the first ``num_queries``
     vectors (query_id < num_queries), self-match included."""
@@ -47,33 +79,11 @@ def embedding_topk(sf_dir: str, num_queries: int = _NUM_QUERIES, k: int = _TOP_K
     qids = qdf["vec_id"].to_numpy()
     q_ref = ray.put((qids, Qn))
 
-    def topk_partial(t: pa.Table) -> pa.Table:
-        # stateless tasks, not a fixed actor pool: the only state is the
-        # broadcast query matrix, fetched once per worker process via the
-        # cached ray.get (a pinned pool of 2 was the stage's bottleneck)
-        cache = topk_partial.__dict__
-        if "q" not in cache:
-            cache["q"] = ray.get(q_ref)
-        qids_, Qn_ = cache["q"]
-        X = _batch_matrix(t)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ Qn_.T  # (batch, queries)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[0])
-        # total-order top-k (score DESC, vec_id ASC): argpartition alone
-        # keeps an arbitrary subset when scores tie at the k-th rank,
-        # which the oracle's row_number tie-break cannot reproduce
-        part = np.empty((kk, sims.shape[1]), dtype=np.int64)
-        for j in range(sims.shape[1]):
-            part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
-        rows = {
-            "query_id": np.repeat(qids_, kk),
-            "vec_id": ids[part].T.ravel(),
-            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
-        }
-        return pa.table(rows)
-
-    partials = ds.map_batches(topk_partial, batch_format="pyarrow",
+    # stateless tasks, not a fixed actor pool: the only state is the
+    # broadcast query matrix, fetched once per worker process via the
+    # cached ray.get (a pinned pool of 2 was the stage's bottleneck)
+    partials = ds.map_batches(_topk_partial_fn(q_ref, k),
+                              batch_format="pyarrow",
                               batch_size=4096).to_pandas()
     out = (partials.sort_values(["query_id", "score", "vec_id"],
                                 ascending=[True, False, True])
@@ -345,29 +355,8 @@ def knn_exact_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     q_ref = ray.put((qdf["vec_id"].to_numpy(), Qn))
 
-    def topk_partial(t: pa.Table) -> pa.Table:
-        cache = topk_partial.__dict__
-        if "q" not in cache:
-            cache["q"] = ray.get(q_ref)
-        qids_, Qn_ = cache["q"]
-        X = _batch_matrix(t)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ Qn_.T
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        labels = t["label"].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[0])
-        # total-order top-k (score DESC, vec_id ASC) — see embedding_topk
-        part = np.empty((kk, sims.shape[1]), dtype=np.int64)
-        for j in range(sims.shape[1]):
-            part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
-        return pa.table({
-            "query_id": np.repeat(qids_, kk),
-            "vec_id": ids[part].T.ravel(),
-            "label": labels[part].T.ravel(),
-            "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
-        })
-
-    partials = ds.map_batches(topk_partial, batch_format="pyarrow",
+    partials = ds.map_batches(_topk_partial_fn(q_ref, k, extra_cols=("label",)),
+                              batch_format="pyarrow",
                               batch_size=4096).to_pandas()
     top = (partials.sort_values(["query_id", "score", "vec_id"],
                                 ascending=[True, False, True])

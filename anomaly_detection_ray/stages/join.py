@@ -247,11 +247,21 @@ def fact_dim_rollup(
     a worker heap — size ``num_partitions`` accordingly, exactly as for
     ``key_integrity`` above.
     """
+    import math
     import pickle
 
     from anomaly_detection_ray.functions.hashing import bucket_of
 
     sum_cols = list(sum_cols)
+
+    def fsum_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        # math.fsum per group: a pairwise pandas sum over ~50k 1e8-scale
+        # partials drifts ~1e-5 per bucket — enough to flip a round(…, 4)
+        # oracle comparison at the final 1e10 magnitude.  Exactly-rounded
+        # sums keep the error at one ulp regardless of row order.
+        return df.groupby(dim_attr, observed=True, as_index=False).agg(
+            **{c: (c, math.fsum) for c in sum_cols},
+            **{count_alias: (count_alias, "sum")})
 
     def fact_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -294,23 +304,10 @@ def fact_dim_rollup(
             key, observed=True)[sum_cols + [count_alias]].sum().reset_index()
         d = pd.concat(dims, ignore_index=True).drop_duplicates(key)
         j = f.merge(d, on=key, how="inner")
-        # math.fsum per group: a pairwise pandas sum over ~50k 1e8-scale
-        # partials drifts ~1e-5 per bucket — enough to flip a round(…, 4)
-        # oracle comparison at the final 1e10 magnitude.  Exactly-rounded
-        # sums keep the reducer error at one ulp regardless of row order.
-        import math
-
-        agg = {c: (c, lambda s: math.fsum(s)) for c in sum_cols}
-        out = j.groupby(dim_attr, observed=True).agg(
-            **agg, **{count_alias: (count_alias, "sum")}).reset_index()
-        return out
+        return fsum_rollup(j)
 
     out = tagged.groupby("bucket").map_groups(
         reduce_bucket, batch_format="pandas").to_pandas()
     if out.empty:
         return pd.DataFrame(columns=[dim_attr, *sum_cols, count_alias])
-    import math
-
-    agg = {c: (c, lambda s: math.fsum(s)) for c in sum_cols}
-    return out.groupby(dim_attr, observed=True, as_index=False).agg(
-        **agg, **{count_alias: (count_alias, "sum")})
+    return fsum_rollup(out)

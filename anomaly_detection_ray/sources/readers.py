@@ -29,7 +29,13 @@ def read_table(
 ) -> ray.data.Dataset:
     """Read a table as a Dataset, pruning columns/rows at the read
     (a read that loads all columns for a 2-column transform is wrong at
-    100 TB — push ``columns`` and ``filter`` down to the scan)."""
+    100 TB — push ``columns`` and ``filter`` down to the scan).
+
+    Format dispatch by path: Lance dataset dirs / ``.lance`` (when the
+    dependency exists), ``.csv`` / ``.json``(l) sidecar formats (CSV and
+    JSON cannot push column pruning into the scan, so the projection is
+    applied immediately after — the bytes still leave storage, which is
+    why Parquet/Lance are the scale formats), Parquet otherwise."""
     if _is_lance(path):
         try:
             import lance  # noqa: F401
@@ -37,6 +43,13 @@ def read_table(
             return ray.data.read_lance(path, columns=list(columns) if columns else None, **kwargs)
         except ImportError:
             pass
+    low = path.lower()
+    if low.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if low.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     return ray.data.read_parquet(
         path,
         columns=list(columns) if columns else None,

@@ -325,3 +325,41 @@ class TestGroupedSumsExact:
                            exact_sums=True).to_pandas()
         # single block → partial fsum IS the exactly-rounded total
         assert out["x"].iloc[0] == math.fsum(v)
+
+
+class TestReadTableFormats:
+    """read_table dispatches by path suffix: CSV / JSONL sidecar formats
+    read into the same Dataset surface as Parquet, with the column
+    projection applied right after the scan (those formats cannot push
+    pruning into the read itself)."""
+
+    @pytest.fixture()
+    def tri_format(self, tmp_path):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.sources.readers import read_table
+
+        df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                           "c": [0.5, 1.5, 2.5]})
+        pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "t.parquet"))
+        df.to_csv(tmp_path / "t.csv", index=False)
+        with open(tmp_path / "t.jsonl", "w") as f:
+            for r in df.to_dict("records"):
+                f.write(json.dumps(r) + "\n")
+        return tmp_path, df, read_table
+
+    def test_same_rows_all_formats(self, tri_format, ray_session):
+        d, df, read_table = tri_format
+        for name in ("t.parquet", "t.csv", "t.jsonl"):
+            got = (read_table(str(d / name)).to_pandas()
+                   .sort_values("a").reset_index(drop=True))
+            assert list(got["a"]) == [1, 2, 3], name
+            assert list(got["b"]) == ["x", "y", "z"], name
+
+    def test_column_projection_all_formats(self, tri_format, ray_session):
+        d, df, read_table = tri_format
+        for name in ("t.parquet", "t.csv", "t.jsonl"):
+            got = read_table(str(d / name), columns=["a", "c"]).to_pandas()
+            assert sorted(got.columns) == ["a", "c"], name

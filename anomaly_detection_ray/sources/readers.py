@@ -44,11 +44,18 @@ def read_table(
         except ImportError:
             pass
     low = path.lower()
-    if low.endswith(".csv"):
-        ds = ray.data.read_csv(path, **kwargs)
-        return ds.select_columns(list(columns)) if columns else ds
-    if low.endswith((".json", ".jsonl")):
-        ds = ray.data.read_json(path, **kwargs)
+    if low.endswith((".csv", ".json", ".jsonl")):
+        reader = ray.data.read_csv if low.endswith(".csv") else ray.data.read_json
+        if override_num_blocks is not None:
+            kwargs["override_num_blocks"] = override_num_blocks
+        ds = reader(path, **kwargs)
+        if filter is not None:
+            # CSV/JSON scans cannot push row filters into the read like
+            # Parquet does, but silently returning unfiltered rows would be
+            # a semantics divergence — apply the same Arrow expression
+            # post-scan so every format agrees on the result set.
+            ds = ds.map_batches(lambda t, _f=filter: t.filter(_f),
+                                batch_format="pyarrow")
         return ds.select_columns(list(columns)) if columns else ds
     return ray.data.read_parquet(
         path,

@@ -171,6 +171,12 @@ class SuitePartials:
         )
 
         pids = batch[self.partition_col].to_numpy(zero_copy_only=False)
+        if batch[self.partition_col].null_count:
+            # NULL partition ids must not kill the pass (np.argsort on an
+            # object array raises on str-vs-None comparisons): fold them
+            # into a sentinel partition so their rows still get stats and
+            # the suite can flag the partition explicitly downstream.
+            pids = np.where(pd.isnull(pids), "__null__", pids)
         order = np.argsort(pids, kind="stable")
         sorted_pids = pids[order]
         starts = np.flatnonzero(
@@ -245,8 +251,15 @@ def combine_partial_rows(batch: pa.Table) -> pa.Table:
     at 600k clips (≈30µs per shuffled row), and the partial rows are tiny
     so the cross-block bundler cost here is noise.
 
-    Exactness: count/nulls/min/max and the HLL / freq merges are
-    order-invariant, so combining early cannot change results.  Per-bundle
+    Exactness: count/nulls/min/max and the HLL merge are order-invariant,
+    so combining early cannot change those results.  Freq merges are
+    order-invariant only while total distinct stays under the sketch cap
+    (10k): past the cap, which keys land in ``__other__`` depends on
+    arrival order, so for key-like columns (e.g. clip_id at bench scale)
+    the freq bytes vary with the combiner's batch layout — heaviest-first
+    admission (sketches.py add_counts) keeps the retained set the heavy
+    hitters either way, which is the only property chi-square drift
+    consumes.  Per-bundle
     float sums are carried as LISTS (``sums``/``sumsqs``) so the final
     reducer's ``math.fsum`` still sees every original bundle term and the
     merged stats stay bit-identical for every block layout.  t-digest

@@ -316,8 +316,14 @@ class FreqSketch(Sketch):
     def add_counts(self, keys: Iterable, counts: Iterable[int]) -> "FreqSketch":
         """Add pre-counted (key, count) pairs — the fast path for partial
         builders that value-count a whole column once (one C-level unique/
-        bincount) and slice per partition group."""
-        for k, c in zip(keys, counts):
+        bincount) and slice per partition group.
+
+        Pairs are inserted heaviest-first (ties broken by key) so that when
+        the slice has more distinct values than ``cap``, the retained key
+        set is the heavy hitters — matching ``add_many``'s value_counts
+        admission order — with a deterministic tie rule on top."""
+        pairs = sorted(zip(keys, counts), key=lambda kc: (-int(kc[1]), str(kc[0])))
+        for k, c in pairs:
             key = "__null__" if (k is None or (isinstance(k, float) and np.isnan(k))) else str(k)
             self._bump(key, int(c))
             self.total += int(c)

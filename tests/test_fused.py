@@ -43,6 +43,30 @@ def partials_table(facts):
 
 
 class TestPartialEmission:
+    def test_null_partition_id_survives(self, facts):
+        # dirty data: a NULL partition_id must fold into the "__null__"
+        # sentinel partition, not TypeError the whole fused pass
+        pid_idx = facts.schema.get_field_index(PARTITION_COL)
+        pids = facts[PARTITION_COL].to_pylist()
+        pids[0] = None
+        pids[5] = None
+        dirty = facts.set_column(pid_idx, PARTITION_COL,
+                                 pa.array(pids, pa.string()))
+        sp = SuitePartials(_ALL_STAT_COLS, PARTITION_COL, num_buckets=8,
+                           with_keys=True, checks=CHECKS)
+        out = sp(dirty)
+        stat_pids = {p for k, p in zip(out["kind"].to_pylist(),
+                                       out["partition_id"].to_pylist())
+                     if k == KIND_STATS}
+        assert "__null__" in stat_pids
+        # every row is still counted exactly once across partitions
+        counts = [pickle.loads(b)["count"]
+                  for k, c, b in zip(out["kind"].to_pylist(),
+                                     out["column"].to_pylist(),
+                                     out["payload"].to_pylist())
+                  if k == KIND_STATS and c == _ALL_STAT_COLS[0]]
+        assert sum(counts) == dirty.num_rows
+
     def test_kinds_present(self, partials_table):
         kinds = set(partials_table["kind"].to_pylist())
         assert kinds == {KIND_STATS, KIND_KEYS, KIND_VIOL}

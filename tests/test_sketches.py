@@ -119,6 +119,27 @@ class TestFreq:
         stat2, _ = chi_square(skew, f1)
         assert stat2 > 100
 
+    def test_add_counts_admits_heavy_hitters_first(self):
+        # over-cap slice: the retained key set must be the heaviest keys
+        # (matching add_many's value_counts order), not insertion order
+        keys = [f"k{i:04d}" for i in range(8)]
+        counts = [10, 500, 3, 400, 7, 300, 1, 200]
+        f = FreqSketch(cap=4)
+        f.add_counts(np.array(keys, dtype=object), np.array(counts))
+        kept = set(f.counts) - {FreqSketch.OTHER}
+        assert kept == {"k0001", "k0003", "k0005", "k0007"}
+        assert f.counts[FreqSketch.OTHER] == 10 + 3 + 7 + 1
+        assert f.total == sum(counts)
+
+    def test_add_counts_deterministic_ties(self):
+        # equal counts: admission falls back to key order, so two layouts
+        # of the same pairs produce identical sketches
+        keys = np.array([f"t{i}" for i in range(6)], dtype=object)
+        counts = np.array([5] * 6)
+        a = FreqSketch(cap=3).add_counts(keys, counts)
+        b = FreqSketch(cap=3).add_counts(keys[::-1], counts)
+        assert a.counts == b.counts
+
 
 class TestMinHashSimHash:
     def test_jaccard_estimate(self):

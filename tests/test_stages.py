@@ -363,3 +363,25 @@ class TestReadTableFormats:
         for name in ("t.parquet", "t.csv", "t.jsonl"):
             got = read_table(str(d / name), columns=["a", "c"]).to_pandas()
             assert sorted(got.columns) == ["a", "c"], name
+
+    def test_row_filter_all_formats(self, tri_format, ray_session):
+        # CSV/JSONL cannot push the filter into the scan, but the reader
+        # must still apply it (post-scan) — not silently drop it
+        import pyarrow.dataset as pads
+
+        d, df, read_table = tri_format
+        expr = pads.field("a") >= 2
+        for name in ("t.parquet", "t.csv", "t.jsonl"):
+            got = (read_table(str(d / name), filter=expr).to_pandas()
+                   .sort_values("a").reset_index(drop=True))
+            assert list(got["a"]) == [2, 3], name
+
+    def test_filter_with_projection_csv(self, tri_format, ray_session):
+        # the filter references a column OUTSIDE the projection: filter
+        # must run before the projection drops it
+        import pyarrow.dataset as pads
+
+        d, df, read_table = tri_format
+        got = read_table(str(d / "t.csv"), columns=["b"],
+                         filter=pads.field("a") == 3).to_pandas()
+        assert list(got.columns) == ["b"] and list(got["b"]) == ["z"]

@@ -484,55 +484,139 @@ def event_freshness_verdicts(
     model knobs threaded from ADR_CONFIG (``ForecastConfig.from_env()``);
     sample hourly eval points (≥1h apart, newest kept — the reference's
     S3 sampling rule, freshness_utils.py:234-255), latency at each point =
-    eval_time − max(event_ts ≤ eval_time) via one searchsorted over the
-    sorted series (the as-of grouped max, SURVEY §2.1 series C), then
-    train on all but the last latency and verdict the last (F7)."""
+    eval_time − max(event_ts ≤ eval_time) (the as-of grouped max, SURVEY
+    §2.1 series C), then train on all but the last latency and verdict the
+    last (F7, reference freshness_utils.py:258-324).
+
+    Shape: the check needs only ONE as-of predecessor per (type, grid
+    point), so no worker ever holds a type's full event stream.  Pass 1
+    pre-reduces per block to per-type (min_ts, max_ts) span partials;
+    pass 2 buckets each event's age (latest_ts − ts, integer µs) into
+    grid-aligned hour cells and pre-reduces per block to per-(type, cell)
+    MIN-age partials — suffix-min over the ≤ num_samples+1 dense cells
+    yields the exact as-of predecessor at every grid point, because cells
+    are anchored at the type's latest event: ts ≤ grid_k ⟺ age ≥ k·cell.
+    Both shuffles move O(blocks × types) blob rows; per-task memory is one
+    batch regardless of event-type skew (the r2 unbounded
+    ``groupby(event_type).map_groups`` over raw rows is gone — VERDICT r2
+    'What's wrong' #1).  Latency floats are reconstructed from the same
+    int64-µs/1e6 doubles the row-level path used, so results are
+    bit-identical (golden-pinned on the sf0.001 fixture)."""
+    import pickle
+
     from anomaly_detection_ray.config import ForecastConfig
+    from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64
     from anomaly_detection_ray.functions.verdicts import check_event_freshness
 
     fcfg = ForecastConfig.from_env()
+    interval_us = int(round(sample_interval_s * 1e6))
+    overflow = num_samples  # ages past the grid clamp into one cell
+    i64max = np.iinfo(np.int64).max
+    num_buckets = 8
     ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _blobbed(out: pd.DataFrame) -> pd.DataFrame:
+        b = (hash64(out["event_type"].to_numpy(dtype=object))
+             % np.uint64(num_buckets)).astype(np.int64)
+        return blob_rows_frame([(int(x), pickle.dumps(out[b == x]))
+                                for x in np.unique(b)])
+
+    # ---- pass 1: per-type event-time span (bounded partials) -------------
+    def span_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return blob_rows_frame([])
+        g = (pd.DataFrame({"event_type": df["event_type"],
+                           "us": df["ts"].astype("int64")})
+             .groupby("event_type", observed=True)["us"])
+        out = pd.DataFrame({"lo_us": g.min(), "hi_us": g.max()}).reset_index()
+        return _blobbed(out)
+
+    def span_merge(g: pd.DataFrame) -> pd.DataFrame:
+        cat = pd.concat([pickle.loads(x) for x in g["blob"]], ignore_index=True)
+        gg = cat.groupby("event_type", observed=True)
+        return pd.DataFrame({"lo_us": gg["lo_us"].min(),
+                             "hi_us": gg["hi_us"].max()}).reset_index()
+
+    spans = (ds.map_batches(span_partial, batch_format="pandas", batch_size=None)
+             .groupby("bucket").map_groups(span_merge, batch_format="pandas")
+             .to_pandas())
+    if spans.empty:
+        return pd.DataFrame(columns=["event_type", "status", "n_samples",
+                                     "actual_latency_s", "upper_bound_s", "rule"])
     # anchor the eval grid at the DATASET's latest event ("now"), not each
     # type's own last event — a fully-stalled type must accumulate latency
     # against global time or it can never look stale (reference evaluates
-    # at eval_time, freshness_utils.py:258-324)
-    now_us = ds.max("ts")
-    now_s = pd.Timestamp(now_us).value / 1e9 + 60.0
+    # at eval_time, freshness_utils.py:258-324).  Same arithmetic as the
+    # previous Timestamp.value/1e9 path (value is ns = µs·1000 exactly).
+    now_s = int(spans["hi_us"].max()) * 1000 / 1e9 + 60.0
+    hi_ref = ray.put(dict(zip(spans["event_type"],
+                              spans["hi_us"].astype(np.int64))))
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        et = g["event_type"].iloc[0]
-        ts = np.sort(g["ts"].astype("int64").to_numpy() / 1e6)
+    # ---- pass 2: per-(type, grid cell) min event age (bounded partials) --
+    def age_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return blob_rows_frame([])
+        hi_map = ray.get(hi_ref)
+        frames = []
+        for et, grp in df.groupby("event_type", observed=True):
+            age = hi_map[et] - grp["ts"].astype("int64").to_numpy()
+            cell = np.minimum(age // interval_us, overflow)
+            dense = np.full(overflow + 1, i64max, dtype=np.int64)
+            np.minimum.at(dense, cell, age)
+            nz = np.flatnonzero(dense < i64max)
+            frames.append(pd.DataFrame({"event_type": et, "cell": nz,
+                                        "age_us": dense[nz]}))
+        return _blobbed(pd.concat(frames, ignore_index=True))
+
+    def age_merge(g: pd.DataFrame) -> pd.DataFrame:
+        cat = pd.concat([pickle.loads(x) for x in g["blob"]], ignore_index=True)
+        return (cat.groupby(["event_type", "cell"], observed=True)["age_us"]
+                .min().reset_index())
+
+    ages = (ds.map_batches(age_partial, batch_format="pandas", batch_size=None)
+            .groupby("bucket").map_groups(age_merge, batch_format="pandas")
+            .to_pandas())
+    cells_by_type = dict(tuple(ages.groupby("event_type")))
+
+    # ---- driver: O(types × num_samples) verdict assembly ------------------
+    rows = []
+    for r in spans.itertuples(index=False):
+        lo_us, hi_us = int(r.lo_us), int(r.hi_us)
+        hi_f = hi_us / 1e6
+        actual = now_s - hi_f
         # TRAINING latencies come from the type's healthy era (samples at
         # or before its last event — the reference trains at sampled
         # commit times, which stop when updates stop); the ACTUAL latency
         # is measured at global now.  Training on post-stall samples would
         # teach the model the stall and never flag it.
-        grid = ts[-1] - sample_interval_s * np.arange(num_samples - 1, -1, -1)
-        grid = grid[grid > ts[0]]
-        actual = now_s - ts[-1]
-        if grid.size < 3:
-            return pd.DataFrame([{"event_type": et, "status": "Unknown",
-                                  "n_samples": int(grid.size),
-                                  "actual_latency_s": round(actual, 1),
-                                  "upper_bound_s": None,
-                                  "rule": "not_enough_history"}])
-        idx = np.searchsorted(ts, grid, side="right") - 1
-        lat = grid - ts[idx]
+        ks = np.arange(num_samples - 1, -1, -1)  # ascending grid time
+        ks = ks[hi_us - ks * interval_us > lo_us]
+        if ks.size < 3:
+            rows.append({"event_type": r.event_type, "status": "Unknown",
+                         "n_samples": int(ks.size),
+                         "actual_latency_s": round(actual, 1),
+                         "upper_bound_s": None, "rule": "not_enough_history"})
+            continue
+        cells = cells_by_type[r.event_type]
+        dense = np.full(overflow + 1, i64max, dtype=np.int64)
+        dense[cells["cell"].to_numpy()] = cells["age_us"].to_numpy()
+        suffix = np.minimum.accumulate(dense[::-1])[::-1]
+        grid = hi_f - sample_interval_s * ks
+        lat = grid - (hi_us - suffix[ks]) / 1e6
         # check_event_freshness trains on series[:-1] (the reference's
         # "all but last"), so the actual joins the series as its tail
         v = check_event_freshness(
             np.append(lat, actual), float(actual),
             max_grace_period_minutes=fcfg.max_grace_period_minutes,
             num_std=fcfg.num_std_for_residuals)
-        return pd.DataFrame([{
-            "event_type": et,
+        rows.append({
+            "event_type": r.event_type,
             "status": v.status,
-            "n_samples": int(grid.size),
+            "n_samples": int(ks.size),
             "actual_latency_s": round(float(actual), 1),
             "upper_bound_s": (round(float(v.predicted_upper_bound_ts), 1)
                               if v.predicted_upper_bound_ts is not None else None),
             "rule": v.debug.get("rule", v.error_code or ""),
-        }])
-
-    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas").to_pandas()
-    return out.sort_values("event_type").reset_index(drop=True)
+        })
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))

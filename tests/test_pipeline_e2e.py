@@ -326,6 +326,64 @@ class TestEventFreshness:
         assert set(df["status"]) <= {"Healthy", "Unhealthy", "Unknown"}
         assert (df.loc[df["status"] != "Unknown", "n_samples"] >= 4).all()
 
+    def test_golden_pin_sf0001(self, ray_session):
+        # golden pin of the bounded two-pass re-shape: values captured from
+        # the row-level searchsorted implementation on the same fixture —
+        # the pre-reduced as-of path must stay bit-identical
+        from anomaly_detection_ray.pipelines.history import event_freshness_verdicts
+
+        df = event_freshness_verdicts("/root/testdata/sf0.001")
+        got = {r.event_type: (r.status, r.n_samples, r.actual_latency_s,
+                              r.upper_bound_s)
+               for r in df.itertuples(index=False)}
+        assert got == {
+            "click": ("Healthy", 48, 14177.7, 25046.0),
+            "error": ("Healthy", 48, 25681.8, 30613.0),
+            "purchase": ("Healthy", 48, 60.0, 36595.0),
+            "signup": ("Healthy", 48, 16854.8, 35250.0),
+            "view": ("Healthy", 48, 3998.0, 27173.0),
+        }
+
+    def test_skewed_type_many_small_blocks(self, ray_session, tmp_path):
+        # one hot type holds 90% of rows, spread over MANY small blocks:
+        # the bounded partials must still produce the exact per-grid as-of
+        # latencies (per-task memory is one batch, never a whole type)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import numpy as np
+        from anomaly_detection_ray.pipelines.history import event_freshness_verdicts
+
+        rng = np.random.default_rng(11)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        hot = base + (np.sort(rng.integers(0, 100 * 3600, 45_000))
+                      * 1_000_000).astype("timedelta64[us]")
+        cold = base + (np.arange(0, 100 * 3600, 72 * 60)
+                       * 1_000_000).astype("timedelta64[us]")
+        t = pa.table({
+            "event_type": pa.array(["hot"] * len(hot) + ["cold"] * len(cold)),
+            "ts": pa.array(np.concatenate([hot, cold])),
+        })
+        d = tmp_path / "skew"; d.mkdir()
+        # tiny row groups → many Ray blocks → many partial rounds
+        pq.write_table(t, str(d / "events.parquet"), row_group_size=2000)
+        df = event_freshness_verdicts(str(d)).set_index("event_type")
+        assert set(df.index) == {"hot", "cold"}
+        assert (df["status"] != "Unknown").all()
+        # exact single-process recomputation of the hot type's verdict
+        ts = np.sort(t.filter(pa.compute.equal(t["event_type"], "hot"))["ts"]
+                     .cast(pa.int64()).to_numpy() / 1e6)
+        grid = ts[-1] - 3600.0 * np.arange(47, -1, -1)
+        grid = grid[grid > ts[0]]
+        lat = grid - ts[np.searchsorted(ts, grid, side="right") - 1]
+        from anomaly_detection_ray.functions.verdicts import check_event_freshness
+        now_s = max(ts[-1], np.sort(
+            t.filter(pa.compute.equal(t["event_type"], "cold"))["ts"]
+            .cast(pa.int64()).to_numpy() / 1e6)[-1]) + 60.0
+        actual = now_s - ts[-1]
+        v = check_event_freshness(np.append(lat, actual), float(actual))
+        assert df.loc["hot", "status"] == v.status
+        assert df.loc["hot", "n_samples"] == grid.size
+
     def test_stalled_type_goes_unhealthy(self, ray_session, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

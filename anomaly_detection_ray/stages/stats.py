@@ -239,27 +239,39 @@ def exact_order_stats(
     n: Optional[int] = None,
     tdigest=None,
     pad: float = 0.002,
-    max_rounds: int = 5,
+    max_rounds: int = 8,
+    collect_cap: int = 1 << 17,
 ) -> dict[int, float]:
     """Exact k-th order statistics (0-based global ranks over non-null
-    values) WITHOUT a global sort.
+    values) WITHOUT a global sort and WITHOUT ever materializing the
+    column on the driver.
 
     A t-digest brackets each requested rank with a ``[lo, hi]`` value
-    window, then ONE counting pass (``map_batches`` partial reduce — the
-    dataset is never shuffled) computes, per rank, the exact number of
-    rows below the window plus the small set of in-window values; the
-    k-th value is read off the sorted window.  Ranks whose window missed
-    (sketch bracket too tight) are retried with a geometrically wider
-    window.
+    window, then ONE counting pass per round (``map_batches`` partial
+    reduce — the dataset is never shuffled) resolves each window one of
+    three ways:
 
-    Scale notes: driver memory is O(pad · n) per rank — ``pad`` is a
-    QUANTILE-space half-width, so at 10^12 rows the same machinery should
-    iterate (re-bracket inside the previous window with a fresh digest of
-    only in-window rows) instead of widening; one round suffices at bench
-    scale and the retry loop bounds the worst case.  This is the exact
-    verification anchor for the t-digest quantile path (state/sketches.py
-    TDigest), mirroring how the reference pins its approximate detectors
-    with exact twins in tests.
+    - **collect** (estimated in-window count ≤ ``collect_cap``): blocks
+      ship their in-window values; the k-th value is read off the sorted
+      window.  Driver memory is bounded by ``collect_cap`` per rank.
+    - **refine** (window too populous — a mass point at the quantile, or
+      10^12-row scale where pad·n exceeds the cap): blocks ship only an
+      in-window COUNT and a fresh t-digest of in-window values; the next
+      round re-brackets the remaining rank offset inside that window with
+      the fresh digest.  Each round shrinks the candidate region by ~pad
+      of its mass, so convergence is geometric.
+    - **degenerate window** (``lo == hi`` — every candidate value is
+      identical): the rank's value IS the window bound once the counts
+      confirm containment; resolved with no value shipping at all.
+
+    Windows that miss their rank (sketch bracket too tight) retry with a
+    geometrically wider window inside the current candidate region; a
+    fully-widened window is (-inf, inf), which always contains the rank
+    and flips the rank into the refine path — so the driver-side sort
+    fallback this replaced is not just guarded but impossible.  This is
+    the exact verification anchor for the t-digest quantile path
+    (state/sketches.py TDigest), mirroring how the reference pins its
+    approximate detectors with exact twins in tests.
     """
     if tdigest is None or n is None:
         # one stats pass covers both missing inputs; n is the NON-NULL
@@ -278,52 +290,74 @@ def exact_order_stats(
     ranks = sorted(set(int(r) for r in ranks))
 
     resolved: dict[int, float] = {}
+    # per-rank candidate region: (bracketing digest over the region,
+    # exact count of values below the region, count of values in it)
+    region = {r: (tdigest, 0, n) for r in ranks}
     pads = {r: pad for r in ranks}
     for _ in range(max_rounds):
         todo = [r for r in ranks if r not in resolved]
         if not todo:
             break
-        windows = []
+        specs = []  # (rank, lo, hi, collect?)
         for r in todo:
-            q = r / max(n - 1, 1)
+            dg, below, rn = region[r]
+            q = (r - below) / max(rn - 1, 1)
             p = pads[r]
-            lo = -np.inf if q - p <= 0 else float(tdigest.quantile([q - p])[0])
-            hi = np.inf if q + p >= 1 else float(tdigest.quantile([q + p])[0])
-            windows.append((r, lo, hi))
+            lo = -np.inf if q - p <= 0 else float(dg.quantile([q - p])[0])
+            hi = np.inf if q + p >= 1 else float(dg.quantile([q + p])[0])
+            cdfs = dg.cdf([lo, hi])
+            est_in = rn * float(np.clip(cdfs[1] - cdfs[0], 0.0, 1.0))
+            collect = lo < hi and est_in <= collect_cap
+            specs.append((r, lo, hi, collect))
 
-        def count_pass(t: pa.Table, _windows=tuple(windows)) -> pa.Table:
+        def count_pass(t: pa.Table, _specs=tuple(specs)) -> pa.Table:
+            from anomaly_detection_ray.state.sketches import TDigest
+
             v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
-            js, cnts, vals = [], [], []
-            for j, (_, lo, hi) in enumerate(_windows):
-                js.append(j)
-                cnts.append(int((v < lo).sum()))
+            js, lts, ins, vals, digs = [], [], [], [], []
+            for j, (_, lo, hi, collect) in enumerate(_specs):
                 w = v[(v >= lo) & (v <= hi)]
-                vals.append(w.tolist())
+                js.append(j)
+                lts.append(int((v < lo).sum()))
+                ins.append(len(w))
+                vals.append(w.tolist() if collect else [])
+                digs.append(None if (collect or not len(w))
+                            else TDigest().add_many(w).to_bytes())
             return pa.table({
                 "j": pa.array(js, pa.int64()),
-                "cnt_lt": pa.array(cnts, pa.int64()),
+                "cnt_lt": pa.array(lts, pa.int64()),
+                "cnt_in": pa.array(ins, pa.int64()),
                 "vals": pa.array(vals, pa.list_(pa.float64())),
+                "digest": pa.array(digs, pa.binary()),
             })
 
         parts = ds.map_batches(count_pass, batch_format="pyarrow").to_pandas()
-        for j, (r, _, _) in enumerate(windows):
+        for j, (r, lo, hi, collect) in enumerate(specs):
             sub = parts[parts["j"] == j]
             cnt_lt = int(sub["cnt_lt"].sum())
-            window = np.sort(np.concatenate([np.asarray(x) for x in sub["vals"]])
-                             if len(sub) else np.array([]))
-            if cnt_lt <= r < cnt_lt + len(window):
+            cnt_in = int(sub["cnt_in"].sum())
+            if not (cnt_lt <= r < cnt_lt + cnt_in):
+                # bracket missed: widen in-region, flooring at one rank's
+                # quantile width so a pathologically tiny pad (1e-12)
+                # can't stall the geometric widening below digest error
+                rn = region[r][2]
+                pads[r] = max(pads[r] * 4.0, 1.0 / max(rn - 1, 1))
+                continue
+            if collect:
+                window = np.sort(np.concatenate(
+                    [np.asarray(x) for x in sub["vals"]]
+                    if len(sub) else [np.array([])]))
                 resolved[r] = float(window[r - cnt_lt])
-            else:
-                pads[r] = pads[r] * 4.0
+            elif lo == hi:  # mass point: all candidates share one value
+                resolved[r] = float(lo)
+            else:  # refine: re-bracket inside the window next round
+                dg = _merge_sketch_column(sub["digest"])
+                region[r] = (dg, cnt_lt, cnt_in)
+                pads[r] = pad
     missing = [r for r in ranks if r not in resolved]
-    if missing:  # give up bracketing; exact fallback for the stragglers
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "exact_order_stats: bracket retries exhausted for ranks %s — "
-            "falling back to a driver-side sort of the column", missing)
-        allv = np.sort(ds.to_pandas()[col].dropna().to_numpy(dtype=np.float64))
-        for r in missing:
-            resolved[r] = float(allv[r])
+    if missing:  # unreachable: widening ends at (-inf, inf) ⊇ every rank
+        raise RuntimeError(
+            f"exact_order_stats failed to bracket ranks {missing} after "
+            f"{max_rounds} rounds — raise max_rounds")
     return resolved

@@ -219,10 +219,61 @@ class TestExactOrderStats:
         rng = np.random.default_rng(4)
         v = rng.uniform(0, 1, size=5_000)
         ds = rd.from_pandas(pd.DataFrame({"value": v}))
-        # a pathologically tight pad forces the widening retry loop (and
-        # possibly the driver-sort fallback) — the answer must still be exact
+        # a pathologically tight pad forces the widening retry loop — the
+        # answer must still be exact
         got = exact_order_stats(ds, "value", [2_500], pad=1e-12)
         assert got[2_500] == np.sort(v)[2_500]
+
+    def test_mass_point_resolves_via_refine(self, ray_session):
+        # adversarial distribution: 60% of all values are ONE number
+        # sitting exactly at the queried quantile, so the bracket window
+        # holds far more values than collect_cap — the refine path must
+        # resolve it via the degenerate-window rule, never by shipping
+        # the mass to the driver (and never by a driver-side sort)
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        rng = np.random.default_rng(5)
+        v = np.concatenate([np.full(30_000, 5.0),
+                            rng.uniform(0, 4, 10_000),
+                            rng.uniform(6, 10, 10_000)])
+        rng.shuffle(v)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        ranks = [0, 24_999, 25_000, 34_999, 49_999]
+        got = exact_order_stats(ds, "value", ranks, collect_cap=2_000)
+        want = np.sort(v)
+        for r in ranks:
+            assert got[r] == want[r], r
+
+    def test_tiny_collect_cap_forces_recursive_rebracket(self, ray_session):
+        # continuous data with a cap far below pad·n: every rank must go
+        # through at least one refine round (fresh in-window digest) and
+        # still land on the exact order statistic
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        rng = np.random.default_rng(6)
+        v = rng.lognormal(0, 2, size=50_000)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        ranks = [100, 25_000, 49_000]
+        got = exact_order_stats(ds, "value", ranks, pad=0.2, collect_cap=500)
+        want = np.sort(v)
+        for r in ranks:
+            assert got[r] == want[r], r
+
+    def test_no_driver_materialization(self, ray_session):
+        # the old fallback called ds.to_pandas() on bracket exhaustion;
+        # the refine path must never touch whole-dataset materializers
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        rng = np.random.default_rng(7)
+        v = rng.normal(0, 1, size=8_000)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        for name in ("to_pandas", "take_all"):
+            def boom(*a, **k):
+                raise AssertionError("driver-side materialization")
+            object.__setattr__(ds, name, boom)
+        got = exact_order_stats(ds, "value", [4_000], pad=1e-12,
+                                collect_cap=100)
+        assert got[4_000] == np.sort(v)[4_000]
 
 
 class TestEmbeddingNearDups:

@@ -191,14 +191,22 @@ def knn_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> pd.Data
         labels = t["label"].to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[0])
         part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        # candidate count rides the partial rows (len(t) on the first row,
+        # 0 elsewhere) so reporting n_candidates does NOT re-execute the
+        # shard read + bucket filter as a second ds.count() pass
+        nrows = sims.shape[0] * len(ids_q)
+        cand_col = np.zeros(nrows, dtype=np.int64)
+        if nrows:
+            cand_col[0] = sims.shape[0]
         return pa.table({
             "query_id": np.repeat(ids_q, kk),
             "label": labels[part].T.ravel(),
             "score": np.take_along_axis(sims, part, axis=0).T.ravel(),
+            "cand_in_batch": cand_col[:kk * len(ids_q)],
         })
 
     partials = cand_ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
-    n_cand = int(cand_ds.count())
+    n_cand = int(partials["cand_in_batch"].sum())
     rows = []
     for qid, grp in partials.groupby("query_id"):
         top = grp.sort_values("score", ascending=False).head(k)

@@ -178,6 +178,50 @@ class TestVectorAccuracy:
         m2 = ivf.merge(exact, on="query_id", suffixes=("_a", "_e"))
         assert (m2["predicted_label_a"] == m2["predicted_label_e"]).mean() >= 0.9
 
+    def test_knn_candidate_count_rides_partials(self, tmp_path, monkeypatch):
+        """n_candidates is summed from the top-k partial rows — the probed
+        shards are read exactly once (no second Dataset.count() execution)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray.data
+        from anomaly_detection_ray.pipelines.vectors import (
+            _LshBuckets,
+            build_lsh_index,
+            knn_label_counts,
+        )
+
+        g = np.random.default_rng(23)
+        centers = g.standard_normal((5, 64)) * 3
+        labels = g.integers(0, 5, 300)
+        X = centers[labels] + g.standard_normal((300, 64)) * 0.5
+        t = pa.table({
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.array([r.astype(np.float32) for r in X],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        })
+        d = tmp_path / "knn_singlepass"
+        d.mkdir()
+        pq.write_table(t, d / "embeddings.parquet")
+
+        # build the index up front (write_parquet's internals may legitimately
+        # count); the _SUCCESS marker makes the knn call below skip the build,
+        # so any count() during knn_label_counts is a candidate re-execution
+        build_lsh_index(str(d), bits=_LshBuckets().bits)
+
+        def boom(self):
+            raise AssertionError(
+                "Dataset.count() called — candidate pipeline executed twice")
+
+        monkeypatch.setattr(ray.data.Dataset, "count", boom)
+        out = knn_label_counts(str(d), num_queries=10)
+        assert len(out) == 10
+        # every query reports the same run-level candidate total, and it is
+        # positive and bounded by the table size times probed buckets
+        assert out["n_candidates"].nunique() == 1
+        assert int(out["n_candidates"].iloc[0]) > 0
+
     def test_hll_distinct_tolerance(self):
         import duckdb
 

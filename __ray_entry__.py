@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
         "history_update_commits": lambda sf_dir: history.history_update_commits(),
+        "history_windowed_commits": lambda sf_dir: history.history_windowed_commits(),
         "freshness_backtest": lambda sf_dir: history.backtest_freshness(),
         "event_freshness": history.event_freshness_verdicts,
         # flagship clips suite (rows-only; golden-tested)
@@ -207,6 +208,38 @@ def _history_oracle_sqls() -> dict[str, str]:
                    max(timestamp) AS last_commit_ts
             {filt}
             GROUP BY 1 ORDER BY 1
+        """,
+        # S2 two-stage days-limit probe (table_history_utils.py:60-92):
+        # op-filtered commits inside the 14-day window; partitions keeping
+        # <= 2 such commits fall back to newest-1000 RAW rows op-filtered
+        # afterwards.  cutoff = 1754000000 - 14*86400, min_points = 2.
+        "history_windowed_commits": f"""
+            WITH raw AS (
+                SELECT partition_id, timestamp, operation, operationMetrics,
+                       row_number() OVER (PARTITION BY partition_id
+                                          ORDER BY timestamp DESC) AS rn,
+                       (operation IN ({ops})
+                        AND NOT (operationMetrics['numFiles'][1] = '0'
+                                 AND operationMetrics['numOutputRows'][1] = '0'
+                                 AND operationMetrics['numOutputBytes'][1] = '0'))
+                           AS op_ok,
+                       (epoch_us(timestamp)/1000000.0 >= 1752790400.0) AS in_win
+                FROM read_parquet('{p}/*.parquet')
+            ),
+            wc AS (
+                SELECT partition_id,
+                       count(*) FILTER (WHERE op_ok AND in_win) AS win_n
+                FROM raw GROUP BY 1
+            )
+            SELECT r.partition_id,
+                   count(*) AS n_commits,
+                   max(r.timestamp) AS last_commit_ts,
+                   CAST(w.win_n <= 2 AS BIGINT) AS used_fallback
+            FROM raw r JOIN wc w ON r.partition_id = w.partition_id
+            WHERE r.op_ok AND (CASE WHEN w.win_n <= 2 THEN r.rn <= 1000
+                                    ELSE r.in_win END)
+            GROUP BY r.partition_id, w.win_n
+            ORDER BY 1
         """,
     }
 

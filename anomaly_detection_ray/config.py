@@ -42,6 +42,10 @@ MAX_EVENT_TRAINING_POINTS = 360
 #: History fetch caps (reference: utils/table_history_utils.py:60-92).
 MAX_HISTORY_COMMITS = 1000
 MAX_LOOKBACK_DAYS = 14
+#: Days-window probe fallback floor (reference: model_config.py:27
+#: min_commit_training_points=2): a lookback window keeping <= this many
+#: op-filtered commits falls back to the newest-1000-raw cap.
+MIN_COMMIT_TRAINING_POINTS = 2
 
 #: Completeness guards (reference: model_config.py:27,33).
 MIN_COMMITS_FOR_COMPLETENESS = 2
@@ -211,6 +215,12 @@ class ForecastConfig:
     min_points_before_synth: int = MIN_TRAINING_POINTS_BEFORE_SYNTH
     use_synthetic_data: bool = True
     max_grace_period_minutes: int = -1  # testing hook (model_config.py:14-15)
+    #: S2 probe mode (reference model_config.py:48-49, default False):
+    #: when on, history selection is the 14-day window with the
+    #: newest-1000 fallback (table_history_utils.py:60-92) instead of the
+    #: plain 1000-commit tail cap.
+    enable_limit_history_by_timestamp: bool = False
+    max_lookback_days: int = MAX_LOOKBACK_DAYS
 
     @classmethod
     def from_env(cls) -> "ForecastConfig":

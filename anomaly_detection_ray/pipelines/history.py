@@ -19,6 +19,8 @@ import ray.data
 from anomaly_detection_ray.config import (
     DELETED_ROWS_METRIC,
     MAX_HISTORY_COMMITS,
+    MAX_LOOKBACK_DAYS,
+    MIN_COMMIT_TRAINING_POINTS,
     OPERATION_ROW_METRIC,
     UPDATE_OPERATIONS,
 )
@@ -60,6 +62,82 @@ def _row_volume(op: str, metrics: dict) -> int:
     return added - deleted
 
 
+def _update_ops_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Pandas twin of ``filter_update_ops`` (M1 whitelist + M2 empty-write
+    drop) for per-group windowed selection; groups are history-small so the
+    per-row metrics-dict walk is off the hot path."""
+    g = g[g["operation"].isin(UPDATE_OPERATIONS)]
+    if g.empty:
+        return g
+    keep = np.ones(len(g), dtype=bool)
+    for i, m in enumerate(g["operationMetrics"]):
+        d = dict(m) if m is not None else {}
+        vals = [d.get(k) for k in ("numFiles", "numOutputRows", "numOutputBytes")]
+        if all(v is not None for v in vals) and all(v == "0" for v in vals):
+            keep[i] = False
+    return g[keep]
+
+
+def _select_history_window(g: pd.DataFrame, eval_ts: float, days_limit: int,
+                           min_points: int = MIN_COMMIT_TRAINING_POINTS,
+                           ) -> tuple[pd.DataFrame, bool]:
+    """S2 two-stage probe (reference table_history_utils.py:60-92): keep the
+    op-filtered commits inside the ``days_limit`` lookback window; when <=
+    ``min_points`` survive (not enough durations to train on), fall back to
+    the newest ``MAX_HISTORY_COMMITS`` RAW commits op-filtered afterwards —
+    exactly the reference's ``history_df.limit(max)`` + ``_filter_history_ops``
+    order.  Returns (selected rows, used_fallback)."""
+    sec = g["timestamp"].astype("int64").to_numpy() / 1e6
+    win = _update_ops_frame(g[sec >= eval_ts - days_limit * 86400.0])
+    if len(win) > min_points:
+        return win, False
+    newest = g.sort_values("timestamp", ascending=False).head(MAX_HISTORY_COMMITS)
+    return _update_ops_frame(newest), True
+
+
+def _window_prefilter(eval_ts: float, days_limit: int):
+    """Block-level reduction for the windowed probe: a row survives iff it is
+    inside the lookback window OR inside its partition's block-local
+    newest-1000 — the global newest-1000 is a subset of the union of
+    block-local newest-1000s, so the final per-group selection stays exact
+    while per-group bytes stay O(window + 1000·blocks_touching_partition)."""
+    cutoff = eval_ts - days_limit * 86400.0
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["timestamp"].astype("int64") / 1e6
+        in_win = sec >= cutoff
+        rank = sec.groupby(df["partition_id"]).rank(method="first", ascending=False)
+        return df[in_win | (rank <= MAX_HISTORY_COMMITS)]
+
+    return prefilter
+
+
+def history_windowed_commits(history_dir: str | None = None,
+                             eval_ts: float = _EVAL_TS,
+                             days_limit: int = MAX_LOOKBACK_DAYS) -> pd.DataFrame:
+    """S2 days-limit probe output, directly oracle-checkable: per partition,
+    the commit count + latest commit ts over the WINDOWED selection (14-day
+    lookback, newest-1000-raw fallback when <= min_points survive;
+    reference table_history_utils.py:60-92) plus which branch fired."""
+    path = history_dir or history_path()
+    ds = read_table(path).map_batches(_window_prefilter(eval_ts, days_limit),
+                                      batch_format="pandas")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sel, fb = _select_history_window(g, eval_ts, days_limit)
+        if sel.empty:
+            return pd.DataFrame()  # no surviving commits → no row (oracle GROUP BY twin)
+        return pd.DataFrame([{
+            "partition_id": g["partition_id"].iloc[0],
+            "n_commits": np.int64(len(sel)),
+            "last_commit_ts": sel["timestamp"].max(),
+            "used_fallback": np.int64(fb),
+        }])
+
+    out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
+    return out.sort_values("partition_id").reset_index(drop=True)
+
+
 def history_update_commits(history_dir: str | None = None) -> pd.DataFrame:
     """M1+M2 chain output, directly oracle-checkable: per partition, the
     count of whitelisted non-empty update commits and the latest commit
@@ -88,12 +166,24 @@ def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS
 
     fcfg = fcfg or ForecastConfig.from_env()
     path = history_dir or history_path()
-    ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
+    # History selection mode (reference freshness_checker.py:674-684): flag
+    # off → op-filter then the 1000-commit tail cap (should_limit=True);
+    # flag on → the S2 days-window probe with newest-1000-raw fallback.
+    windowed = getattr(fcfg, "enable_limit_history_by_timestamp", False)
+    if windowed:
+        ds = read_table(path).map_batches(
+            _window_prefilter(eval_ts, fcfg.max_lookback_days), batch_format="pandas")
+    else:
+        ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         pid = g["partition_id"].iloc[0]
-        ts = (g["timestamp"].astype("int64").to_numpy() / 1e6)
-        ts = np.sort(ts)[-MAX_HISTORY_COMMITS:]
+        if windowed:
+            sel, _ = _select_history_window(g, eval_ts, fcfg.max_lookback_days)
+            ts = np.sort(sel["timestamp"].astype("int64").to_numpy() / 1e6)
+        else:
+            ts = (g["timestamp"].astype("int64").to_numpy() / 1e6)
+            ts = np.sort(ts)[-MAX_HISTORY_COMMITS:]
         try:
             v = check_commit_freshness(
                 ts, eval_ts,

@@ -138,6 +138,46 @@ class TestHistoryVerdicts:
         b = history.daily_history_volumes(history_path(20))
         pd.testing.assert_frame_equal(a, b)
 
+    def test_windowed_probe_branches(self):
+        """S2 days-limit probe (table_history_utils.py:60-92): static
+        partitions (latest commit 45d old → empty 14d window) fall back to
+        the newest-1000 cap; hourly partitions stay on the window branch
+        and train on strictly fewer commits than the uncapped total."""
+        win = history.history_windowed_commits(history_path(20))
+        full = history.history_update_commits(history_path(20))
+        w = win.set_index("partition_id")
+        f = full.set_index("partition_id")
+        for p in range(20):
+            pid = f"part-{p:04d}"
+            kind = ["hourly", "daily", "weekly", "static", "late"][p % 5]
+            if kind == "static":
+                assert w.loc[pid, "used_fallback"] == 1, pid
+                # fallback = newest-1000 raw then op-filter = all commits here
+                assert w.loc[pid, "n_commits"] == f.loc[pid, "n_commits"], pid
+            else:
+                assert w.loc[pid, "used_fallback"] == 0, (pid, kind)
+            if kind in ("hourly", "daily", "weekly"):
+                # these series span > 14 days → window strictly narrows
+                assert w.loc[pid, "n_commits"] < f.loc[pid, "n_commits"], (pid, kind)
+            # the window never changes the latest surviving commit
+            assert w.loc[pid, "last_commit_ts"] == f.loc[pid, "last_commit_ts"], pid
+
+    def test_freshness_windowed_flag(self):
+        """enable_limit_history_by_timestamp=True routes freshness through
+        the windowed probe: every partition still gets a verdict, planted
+        cadences keep their expected statuses, and the daily partition's
+        training set provably shrank (60 commits → the ~14 in-window)."""
+        from anomaly_detection_ray.config import ForecastConfig
+
+        fcfg = ForecastConfig(enable_limit_history_by_timestamp=True)
+        out = history.freshness_verdicts(history_path(20), fcfg=fcfg)
+        assert len(out) == 20
+        st = dict(zip(out["partition_id"], out["status"]))
+        assert st["part-0000"] == "Healthy"      # hourly
+        assert st["part-0003"] == "Healthy"      # static (fallback branch)
+        assert out[out["partition_id"] == "part-0003"]["is_static"].iloc[0]
+        assert st["part-0004"] == "Unhealthy"    # late/stale
+
 
 class TestVectorAccuracy:
     def test_lsh_knn_agrees_with_brute_force(self, tmp_path):

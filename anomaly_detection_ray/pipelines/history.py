@@ -310,12 +310,15 @@ def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
     ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
 
     def fit(ent, calib: pd.DataFrame):
-        calib = calib.sort_values(["ts", "event_id"])
         det = SpotDetector(q=1e-3).fit(calib["value"].to_numpy())
         return {"zq": float(det.zq), "calib_end": calib["ts"].iloc[-1]}
 
+    # [ts, event_id] ordering makes the calibration head (and so the fitted
+    # model) bit-reproducible by the no-Ray twin ``spot_fit_params`` — the
+    # oracle embeds those fits as SQL literals
     models = fit_entity_models(ds, "event_type", ["event_id", "ts", "value"],
-                               fit, order_col="ts", max_points=max_train)
+                               fit, order_col=["ts", "event_id"],
+                               max_points=max_train)
 
     def score(m, grp: pd.DataFrame) -> pd.DataFrame:
         hit = grp[(grp["ts"] > m["calib_end"]) & (grp["value"] > m["zq"])]
@@ -347,8 +350,11 @@ def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
         det = HuberDetector().fit(calib["value"].to_numpy())
         return {"center": det.center, "scale": det.scale, "tol": det.tolerance}
 
+    # deterministic calibration order (see spot_anomalies) → the fits are
+    # reproducible by ``huber_fit_params`` and usable as oracle literals
     models = fit_entity_models(ds, "event_type", ["event_id", "ts", "value"],
-                               fit, order_col="ts", max_points=max_train)
+                               fit, order_col=["ts", "event_id"],
+                               max_points=max_train)
 
     def score(m, grp: pd.DataFrame) -> pd.DataFrame:
         v = grp["value"].to_numpy()
@@ -369,6 +375,53 @@ def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
     if out.empty:  # all-empty blocks can lose the schema through to_pandas
         return empty
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def _event_calibrations(sf_dir: str, max_train: int | None = None) -> dict:
+    """No-Ray twin of the detectors' bounded calibration gather: per
+    event_type, the earliest ``max_train`` rows by the same deterministic
+    [ts, event_id] order ``fit_entity_models`` uses — bit-identical input,
+    so locally-refit models equal the distributed ones.  Verification-scale
+    tool (reads one events parquet into pandas) used to derive SQL-literal
+    oracles for the scoring pass; NOT a pipeline."""
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.config import MAX_EVENT_TRAINING_POINTS
+
+    max_train = max_train or MAX_EVENT_TRAINING_POINTS
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts", "event_type", "value"])
+    df = t.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+    return {et: grp.head(max_train)
+            for et, grp in df.groupby("event_type", observed=True)}
+
+
+def huber_fit_params(sf_dir: str, max_train: int | None = None) -> dict:
+    """{event_type: {center, scale, tol}} — local refit matching
+    ``huber_anomalies``'s broadcast models exactly (used by the oracle to
+    pin the distributed ±tol·scale scoring pass with the fits frozen as
+    literals; VERDICT r2 'What's missing' #3)."""
+    out = {}
+    for et, calib in _event_calibrations(sf_dir, max_train).items():
+        try:
+            det = HuberDetector().fit(calib["value"].to_numpy())
+        except Exception:
+            continue  # mirrors fit_entity_models' per-entity error funnel
+        out[et] = {"center": det.center, "scale": det.scale, "tol": det.tolerance}
+    return out
+
+
+def spot_fit_params(sf_dir: str, max_train: int | None = None) -> dict:
+    """{event_type: {zq, calib_end}} — local refit matching
+    ``spot_anomalies``'s broadcast models exactly."""
+    out = {}
+    for et, calib in _event_calibrations(sf_dir, max_train).items():
+        try:
+            det = SpotDetector(q=1e-3).fit(calib["value"].to_numpy())
+        except Exception:
+            continue  # mirrors fit_entity_models' per-entity error funnel
+        out[et] = {"zq": float(det.zq), "calib_end": calib["ts"].iloc[-1]}
+    return out
 
 
 def events_drift_halves(sf_dir: str) -> pd.DataFrame:

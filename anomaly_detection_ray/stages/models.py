@@ -30,18 +30,22 @@ def fit_entity_models(
     cols: Sequence[str],
     fit_fn: Callable[[object, pd.DataFrame], object],
     *,
-    order_col: str | None = None,
+    order_col: str | Sequence[str] | None = None,
     max_points: int = 1000,
     num_buckets: int = 8,
 ):
     """Train one model per entity on a BOUNDED calibration head.
 
     Each block keeps, per entity, its own ``max_points`` earliest rows (by
-    ``order_col``) of the projected ``cols`` and ships them as pickled
-    per-bucket blobs; reducers merge, re-sort, truncate to ``max_points``
-    and call ``fit_fn(entity, calib_df) -> model``.  Per-group input is
-    bounded by O(blocks × max_points) pre-truncation and exactly
-    ``max_points`` at fit time, independent of entity skew.
+    ``order_col`` — pass a LIST ending in a unique column to make the
+    boundary tie-break, and hence the fitted model, fully deterministic;
+    the stable mergesort below guarantees bit-identical calibration order
+    for any independent re-computation) of the projected ``cols`` and
+    ships them as pickled per-bucket blobs; reducers merge, re-sort,
+    truncate to ``max_points`` and call ``fit_fn(entity, calib_df) ->
+    model``.  Per-group input is bounded by O(blocks × max_points)
+    pre-truncation and exactly ``max_points`` at fit time, independent of
+    entity skew.
 
     Returns a ``ray.ObjectRef`` to ``{entity: model}`` (broadcast once —
     readers ``ray.get`` it per worker process, never per batch).
@@ -52,10 +56,12 @@ def fit_entity_models(
 
     cols = list(cols)
     proj = [entity_col] + [c for c in cols if c != entity_col]
+    order_cols = ([order_col] if isinstance(order_col, str) else
+                  list(order_col) if order_col is not None else None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if order_col is not None:
-            df = df.sort_values(order_col)
+        if order_cols is not None:
+            df = df.sort_values(order_cols, kind="mergesort")
         head = df.groupby(entity_col, observed=True).head(max_points)
         ents = head[entity_col].to_numpy(dtype=object)
         buckets = (hash64(np.asarray(head[entity_col].unique(), dtype=object))
@@ -68,8 +74,8 @@ def fit_entity_models(
 
     def fit(g: pd.DataFrame) -> pd.DataFrame:
         cat = pd.concat([pickle.loads(x) for x in g["blob"]], ignore_index=True)
-        if order_col is not None:
-            cat = cat.sort_values(order_col)
+        if order_cols is not None:
+            cat = cat.sort_values(order_cols, kind="mergesort")
         out = []
         for ent, grp in cat.groupby(entity_col, observed=True):
             calib = grp.head(max_points)

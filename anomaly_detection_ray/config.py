@@ -152,6 +152,15 @@ class SuiteConfig:
     #: USER_CONFIGURED_SKIP and never enter the pass)
     partitions_to_skip: tuple = ()
     uniqueness_key: str = "clip_id"
+    #: Hash-bucket fan-out for the uniqueness/referential key exchange
+    #: (None → ``num_partitions``).  Sizing rule (stages/join.py): each
+    #: bucket's reducer dict holds ~total_distinct_keys / key_num_buckets
+    #: entries at ~100 B each, and the whole bucket must fit one worker's
+    #: heap — choose key_num_buckets ≥ total_distinct_keys × entry_bytes /
+    #: worker_heap (10^12 unique ids at 100 B with 8 GiB workers → ≥ ~12k
+    #: buckets).  Runs report per-bucket reducer cardinality to
+    #: metrics.json (key_bucket_distinct_keys) so fat buckets are visible.
+    key_num_buckets: int | None = None
     drift_ks_threshold: float = 0.15
     drift_chi2_pvalue: float = 0.01
     #: columns the drift check covers — numeric (KS) and low-cardinality

@@ -86,6 +86,13 @@ def run(args) -> dict:
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
         "partitions_skipped_resume": already_done,
         "verdict_status_counts": {str(k): int(v) for k, v in status_counts.items()},
+        # key-exchange reducer sizing observability (SuiteConfig.key_num_buckets
+        # sizing rule): raise the bucket count when max grows toward worker heap
+        "key_bucket_distinct_keys": (
+            {"num_buckets": len(res.key_bucket_distincts),
+             "max": int(max(res.key_bucket_distincts)),
+             "total": int(sum(res.key_bucket_distincts))}
+            if res.key_bucket_distincts else None),
         "violation_counts_by_check": {str(k): int(v) for k, v in check_counts.items()},
         # K2 capped per-check entries (first-100 payloads, 500 ids, 500-char
         # errors — metrics.py cap semantics, reference freshness_checker.py)

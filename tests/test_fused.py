@@ -109,8 +109,9 @@ class TestMerges:
         true_dups = set(ids.value_counts()[lambda s: s > 1].index)
         pdf = partials_table.to_pandas()
         merge = _merge_keys_group_fn(with_ref=False)
-        out = merge(pdf[pdf["kind"] == KIND_KEYS])
+        out, n_distinct = merge(pdf[pdf["kind"] == KIND_KEYS])
         assert set(out.loc[out["n_left"] > 1, "key"]) == true_dups
+        assert n_distinct == ids.nunique()
 
     def test_key_merge_referential_directions(self):
         left = pa.table({"k": pa.array(["a", "a", "b", "c"])})
@@ -121,7 +122,8 @@ class TestMerges:
             _rows_table(_key_count_rows(left["k"], 0, 1)),
             _rows_table(_key_count_rows(right["k"], 1, 1)),
         ])
-        out = _merge_keys_group_fn(with_ref=True)(t.to_pandas())
+        out, n_distinct = _merge_keys_group_fn(with_ref=True)(t.to_pandas())
+        assert n_distinct == 4  # a, b, c, d
         by_key = out.set_index("key")
         assert by_key.loc["a", "n_left"] == 2       # dup
         assert by_key.loc["b", "n_right"] == 0      # left orphan

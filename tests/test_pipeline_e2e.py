@@ -41,6 +41,25 @@ class TestSuite:
         dup_ids = v[v["check"] == "uniqueness"]["clip_id"]
         assert dup_ids.is_unique
 
+    def test_key_bucket_observability(self, suite_result):
+        """The key exchange reports per-bucket reducer cardinalities and
+        SuiteConfig.key_num_buckets overrides the fan-out (VERDICT r2 #7)."""
+        bd = suite_result.key_bucket_distincts
+        assert bd is not None and len(bd) <= 4  # num_partitions=4 default fan-out
+        # clips + transcripts keys all flow through the exchange: the union
+        # of bucket dicts covers at least every distinct clip_id
+        # fixture has 2000 distinct clip ids (+3 transcript-only orphans)
+        assert sum(bd) >= 2000
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          key_num_buckets=11)
+        res = validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+        assert len(res.key_bucket_distincts) == 11
+        assert sum(res.key_bucket_distincts) == sum(bd)
+        # verdicts are invariant to the exchange fan-out
+        pd.testing.assert_frame_equal(
+            res.verdicts.reset_index(drop=True),
+            suite_result.verdicts.reset_index(drop=True))
+
     def test_verdict_ordering(self, suite_result):
         """Reference O1/O2: violations (Unhealthy) sort before Healthy."""
         from anomaly_detection_ray.functions.verdicts import HEALTH_STATUS_ORDER, status_rank

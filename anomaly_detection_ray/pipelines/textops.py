@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from anomaly_detection_ray.functions.text import (
     detect_language,
@@ -159,6 +160,56 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.Da
                          lambda fa, fb: (round(jaccard(fa, fb), 6),),
                          {"ngram_jaccard": 0})
     out = scored[scored["ngram_jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.DataFrame:
+    """Exact ALL-PAIRS word-n-gram Jaccard above ``threshold``,
+    DuckDB-oracled — the brute-force correctness anchor for the
+    LSH-candidate :func:`ngram_jaccard_dups` (whose MinHash stage can only
+    MISS pairs, never invent them).  Same contract as
+    ``embedding_pairs_exact``: distributed blocked all-pairs with the full
+    {doc_id: gram-set} map broadcast once (``ray.put``) and each batch
+    scoring its docs against all greater ids — inherently O(n²), so this
+    is the verification-scale tool; the LSH path is the 100-TB path.
+    Hashed gram sets have negligible collision mass, so Jaccard over
+    hashes equals Jaccard over distinct gram strings — what the SQL oracle
+    computes."""
+    from anomaly_detection_ray.functions.text import jaccard, word_ngram_sets
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    full = ds.to_pandas().sort_values("doc_id")  # verification-scale gather
+    ids = full["doc_id"].to_numpy(dtype=np.int64)
+    sets = word_ngram_sets(full["text"], n=n)
+    ref = ray.put((ids, sets))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cache = pairs.__dict__
+        if "m" not in cache:
+            cache["m"] = ray.get(ref)
+            cache["idx"] = {i: j for j, i in enumerate(cache["m"][0])}
+        all_ids, all_sets = cache["m"]
+        rows = []
+        for did in df["doc_id"].to_numpy(dtype=np.int64):
+            fa = all_sets[cache["idx"][did]]
+            for j in range(cache["idx"][did] + 1, all_ids.size):
+                jac = jaccard(fa, all_sets[j])
+                if jac >= threshold:
+                    rows.append((did, int(all_ids[j]), round(jac, 6)))
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "ngram_jaccard": pd.Series(dtype="float64")})
+        a, b, v = zip(*rows)
+        return pd.DataFrame({"a": np.asarray(a, np.int64),
+                             "b": np.asarray(b, np.int64),
+                             "ngram_jaccard": np.asarray(v, np.float64)})
+
+    out = ds.map_batches(pairs, batch_format="pandas", batch_size=256).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "ngram_jaccard": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

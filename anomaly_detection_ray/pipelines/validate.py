@@ -110,6 +110,7 @@ def validate_clips(
     checkpoint: Optional[RunCheckpoint] = None,
     lineage: Optional[dict] = None,
     popularity: Optional[dict] = None,
+    observe: Optional[dict] = None,
 ) -> ValidationResult:
     cfg = config or SuiteConfig.from_env()
     eval_ts = eval_ts if eval_ts is not None else 1_754_000_000.0
@@ -189,6 +190,11 @@ def validate_clips(
     partials = partials.map_batches(combine_partial_rows,
                                     batch_format="pyarrow", batch_size=8192)
     partials = partials.materialize()  # tiny: O(combiner batches × groups)
+    if observe is not None:
+        # scale-proof observability: the shuffle's actual row/byte volume
+        # (stats/viol partials are O(bundles); keys are O(distinct ids))
+        observe["partials_rows"] = int(partials.count())
+        observe["partials_bytes"] = int(partials.size_bytes() or 0)
 
     stats_df, suspect_keys, row_violations, key_bucket_distincts = \
         collect_suite_partials(partials, with_keys=with_keys, with_ref=need_ref)

@@ -54,11 +54,15 @@ def _transcripts(rng: np.random.Generator, n: int) -> np.ndarray:
     return out
 
 
-def make_clips_chunk(seed: int, chunk: int, n: int, drift: bool = False) -> pa.Table:
+def make_clips_chunk(seed: int, chunk: int, n: int, drift: bool = False,
+                     dur_scale: float = 1.0) -> pa.Table:
     """One deterministic chunk of the clips table with planted violations.
 
     ``drift=True`` produces the F3 ``clips_drifted`` distributions: dur_ms
-    mean +30%, codec mix rotated, sr histogram changed.
+    mean +30%, codec mix rotated, sr histogram changed.  ``dur_scale``
+    shrinks clip durations (so payload bytes) proportionally — used by the
+    10×-row scale-proof run to fit the sandbox disk while keeping per-row
+    structure identical (scripts/scale_proof.py; BASELINE.md §4).
     """
     rng = np.random.default_rng((seed, chunk, 1 if drift else 0))
     start = chunk * n
@@ -72,8 +76,9 @@ def make_clips_chunk(seed: int, chunk: int, n: int, drift: bool = False) -> pa.T
     sr_p = np.array([0.05, 0.35, 0.40, 0.20]) if drift else _SR_P
     codec = rng.choice(_CODECS, size=n, p=codec_p)
     sr = rng.choice(_SR, size=n, p=sr_p)
-    dur_mean = 650.0 * (1.3 if drift else 1.0)
-    dur = np.clip(rng.normal(dur_mean, 220.0, size=n), 8, 2000).astype(np.int32)
+    dur_mean = 650.0 * (1.3 if drift else 1.0) * dur_scale
+    dur = np.clip(rng.normal(dur_mean, 220.0 * dur_scale, size=n),
+                  8, max(2000.0 * dur_scale, 16)).astype(np.int32)
 
     transcripts = _transcripts(rng, n)
     null_mask = rng.random(n) < NULL_TRANSCRIPT_RATE
@@ -281,16 +286,88 @@ _CACHE_ROOT = os.environ.get("ADR_SYNTH_CACHE", "/tmp/adr_synth")
 CHUNK_ROWS = 2000
 
 
-def clips_path(n_rows: int, seed: int = 42, drift: bool = False) -> str:
+def clips_path(n_rows: int, seed: int = 42, drift: bool = False,
+               dur_scale: float = 1.0) -> str:
     """Materialize (once) and return a partitioned-Parquet clips dataset."""
     tag = f"clips{'_drift' if drift else ''}-s{seed}-n{n_rows}"
+    if dur_scale != 1.0:
+        tag += f"-d{dur_scale}"
     out = os.path.join(_CACHE_ROOT, tag)
-    return _materialize(out, n_rows, lambda c, m: make_clips_chunk(seed, c, m, drift=drift))
+    return _materialize(out, n_rows,
+                        lambda c, m: make_clips_chunk(seed, c, m, drift=drift,
+                                                      dur_scale=dur_scale))
 
 
 def transcripts_path(n_rows: int, seed: int = 42) -> str:
     out = os.path.join(_CACHE_ROOT, f"transcripts-s{seed}-n{n_rows}")
     return _materialize(out, n_rows, lambda c, m: make_transcripts_chunk(seed, c, m))
+
+
+def make_documents_chunk(seed: int, chunk: int, n: int) -> pa.Table:
+    """Deterministic documents table matching the driver testdata schema
+    (doc_id, text, lang, source, n_chars) with ~3% planted near-dup pairs
+    (copy of the previous doc with ~5% token edits) — scale-proof input for
+    the near-dup family (scripts/scale_proof.py)."""
+    rng = np.random.default_rng((seed, chunk, 7))
+    start = chunk * CHUNK_ROWS
+    vocab = np.array([f"w{i:04d}" for i in range(5000)], dtype=object)
+    # zipf-ish: low ids much more likely
+    p = 1.0 / np.arange(1, vocab.size + 1)
+    p /= p.sum()
+    texts = np.empty(n, dtype=object)
+    for i in range(n):
+        if i > 0 and rng.random() < 0.03:
+            toks = texts[i - 1].split()
+            edit = rng.random(len(toks)) < 0.05
+            for j in np.flatnonzero(edit):
+                toks[j] = vocab[rng.integers(vocab.size)]
+            texts[i] = " ".join(toks)
+        else:
+            ln = int(rng.integers(30, 120))
+            texts[i] = " ".join(rng.choice(vocab, size=ln, p=p))
+    langs = rng.choice(np.array(["en", "de", "fr", "es", "it"], dtype=object), size=n)
+    sources = rng.choice(np.array(["web", "wiki", "books"], dtype=object), size=n)
+    return pa.table({
+        "doc_id": pa.array(np.arange(start, start + n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def make_embeddings_chunk(seed: int, chunk: int, n: int, dim: int = 64,
+                          n_clusters: int = 20) -> pa.Table:
+    """Deterministic clustered embeddings (vec_id, embedding: list<float32>,
+    label: int32) matching the driver testdata schema."""
+    rng = np.random.default_rng((seed, chunk, 8))
+    start = chunk * CHUNK_ROWS
+    centers = np.random.default_rng((seed, 0, 8)).standard_normal((n_clusters, dim)) * 3
+    labels = rng.integers(0, n_clusters, n)
+    X = (centers[labels] + rng.standard_normal((n, dim)) * 0.6).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(start, start + n), pa.int64()),
+        "embedding": pa.array([r for r in X], pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+
+
+def docs_scale_dir(n_docs: int, n_vecs: int, seed: int = 42) -> str:
+    """Materialize a synthetic sf-dir shape (documents.parquet +
+    embeddings.parquet as single files) for the near-dup/ANN scale proof."""
+    out = os.path.join(_CACHE_ROOT, f"docsdir-s{seed}-d{n_docs}-v{n_vecs}")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        docs = [make_documents_chunk(seed, c, min(CHUNK_ROWS, n_docs - c * CHUNK_ROWS))
+                for c in range((n_docs + CHUNK_ROWS - 1) // CHUNK_ROWS)]
+        pq.write_table(pa.concat_tables(docs), os.path.join(out, "documents.parquet"))
+        vecs = [make_embeddings_chunk(seed, c, min(CHUNK_ROWS, n_vecs - c * CHUNK_ROWS))
+                for c in range((n_vecs + CHUNK_ROWS - 1) // CHUNK_ROWS)]
+        pq.write_table(pa.concat_tables(vecs), os.path.join(out, "embeddings.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
 
 
 def images_path(n_rows: int, seed: int = 42) -> str:

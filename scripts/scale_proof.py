@@ -1,0 +1,179 @@
+"""10x-scale proof run (VERDICT r2 next-round #2): validate the O(bundles)
+shuffle claims by running the suite and the near-dup/ANN family at 10x the
+bench row count and recording wall-time, shuffle volume and max worker RSS.
+
+Method
+------
+- Suite pair: 600k vs 6M clips, BOTH generated at ``dur_scale=0.25`` so
+  the comparison isolates ROW scaling at identical per-row payload bytes
+  (a full-size 6M table is ~140 GB and does not fit the sandbox disk; the
+  payload-heavy regime is already measured at 600k full-size in
+  BASELINE.md §3).  Recorded per run: wall, rows/s, partials rows+bytes
+  (the suite's only shuffle), key-bucket reducer cardinalities, max
+  single-worker RSS and max total worker RSS.
+- Near-dup/ANN pair: synthetic documents/embeddings dirs at 1x (5k docs /
+  2k vecs — the sf0.1 driver-table scale) and 10x (50k / 20k), same
+  generator, for minhash_near_dups, simhash_near_dups and the LSH
+  knn_label_counts.
+
+Usage:  python scripts/scale_proof.py [--skip-suite] [--skip-docs]
+Writes scale_proof.json next to this script's repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class WorkerRssMonitor:
+    """Polls /proc for ray worker processes; tracks peak single-process RSS
+    and peak summed RSS across workers."""
+
+    def __init__(self, interval: float = 2.0):
+        self.interval = interval
+        self.max_single = 0
+        self.max_total = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self):
+        total = 0
+        single = 0
+        for sd in glob.glob("/proc/[0-9]*"):
+            try:
+                with open(os.path.join(sd, "cmdline"), "rb") as f:
+                    cmd = f.read()
+                if b"ray::" not in cmd and b"default_worker.py" not in cmd:
+                    continue
+                with open(os.path.join(sd, "statm")) as f:
+                    rss_pages = int(f.read().split()[1])
+                rss = rss_pages * 4096
+                total += rss
+                single = max(single, rss)
+            except (OSError, IndexError, ValueError):
+                continue
+        self.max_single = max(self.max_single, single)
+        self.max_total = max(self.max_total, total)
+
+    def _run(self):
+        while not self._stop.is_set():
+            self._sample()
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=5)
+        self._sample()
+
+
+def run_suite(n_rows: int, dur_scale: float) -> dict:
+    from anomaly_detection_ray.config import SuiteConfig
+    from anomaly_detection_ray.pipelines.validate import validate_clips
+    from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+
+    t0 = time.perf_counter()
+    cpath = clips_path(n_rows, dur_scale=dur_scale)
+    tpath = transcripts_path(n_rows)
+    gen_s = time.perf_counter() - t0
+
+    cfg = SuiteConfig(num_partitions=32)
+    obs: dict = {}
+    with WorkerRssMonitor() as mon:
+        t0 = time.perf_counter()
+        res = validate_clips(cpath, tpath, config=cfg, observe=obs)
+        wall = time.perf_counter() - t0
+    bd = res.key_bucket_distincts or []
+    return {
+        "rows": n_rows,
+        "dur_scale": dur_scale,
+        "gen_s": round(gen_s, 1),
+        "wall_s": round(wall, 1),
+        "rows_per_s": round(n_rows / wall, 0),
+        "partials_rows": obs.get("partials_rows"),
+        "partials_bytes": obs.get("partials_bytes"),
+        "key_buckets": len(bd),
+        "key_bucket_distinct_max": max(bd) if bd else None,
+        "key_bucket_distinct_total": sum(bd) if bd else None,
+        "n_verdicts": len(res.verdicts),
+        "n_violations": len(res.violations),
+        "max_worker_rss_mb": round(_mb(mon.max_single), 0),
+        "max_total_worker_rss_mb": round(_mb(mon.max_total), 0),
+    }
+
+
+def run_docs(n_docs: int, n_vecs: int) -> dict:
+    from anomaly_detection_ray.pipelines.textops import (
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from anomaly_detection_ray.pipelines.vectors import knn_label_counts
+    from anomaly_detection_ray.sources.synth import docs_scale_dir
+
+    d = docs_scale_dir(n_docs, n_vecs)
+    out: dict = {"n_docs": n_docs, "n_vecs": n_vecs}
+    with WorkerRssMonitor() as mon:
+        for name, fn in (("minhash_near_dups", minhash_near_dups),
+                         ("simhash_near_dups", simhash_near_dups),
+                         ("knn_label_counts", knn_label_counts)):
+            t0 = time.perf_counter()
+            r = fn(d)
+            out[name] = {"wall_s": round(time.perf_counter() - t0, 1),
+                         "rows": int(len(r))}
+    out["max_worker_rss_mb"] = round(_mb(mon.max_single), 0)
+    return out
+
+
+def _mb(b: float) -> float:
+    return b / (1024 * 1024)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-suite", action="store_true")
+    ap.add_argument("--skip-docs", action="store_true")
+    ap.add_argument("--small-only", action="store_true",
+                    help="run only the 1x control runs (smoke)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+
+    result: dict = {"num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}
+    if not args.skip_suite:
+        result["suite_1x"] = run_suite(600_000, dur_scale=0.25)
+        print(json.dumps({"suite_1x": result["suite_1x"]}), flush=True)
+        if not args.small_only:
+            result["suite_10x"] = run_suite(6_000_000, dur_scale=0.25)
+            print(json.dumps({"suite_10x": result["suite_10x"]}), flush=True)
+    if not args.skip_docs:
+        result["docs_1x"] = run_docs(5_000, 2_000)
+        print(json.dumps({"docs_1x": result["docs_1x"]}), flush=True)
+        if not args.small_only:
+            result["docs_10x"] = run_docs(50_000, 20_000)
+            print(json.dumps({"docs_10x": result["docs_10x"]}), flush=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "scale_proof.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,30 @@ class TestWinnowPipeline:
         assert all(a == "d0" and b == "d1" for a, b in njp)
 
 
+class TestNgramJaccardExactAnchor:
+    def test_lsh_path_matches_exact_twin(self, ray_session):
+        """ngram_jaccard_exact (DuckDB-oracled brute force) anchors the
+        LSH-candidate ngram_jaccard_dups: the MinHash candidate stage can
+        only MISS pairs (verify is exact), so LSH ⊆ exact always, and on
+        the driver corpus recall must stay high."""
+        from anomaly_detection_ray.pipelines.textops import (
+            ngram_jaccard_dups,
+            ngram_jaccard_exact,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = ngram_jaccard_exact(sf)
+        lsh = ngram_jaccard_dups(sf)
+        exact_pairs = set(zip(exact["a"], exact["b"]))
+        lsh_pairs = set(zip(lsh["a"], lsh["b"]))
+        assert lsh_pairs <= exact_pairs  # verify stage is exact: no false positives
+        if exact_pairs:
+            assert len(lsh_pairs) / len(exact_pairs) >= 0.9
+        # scores agree where both report the pair
+        merged = lsh.merge(exact, on=["a", "b"], suffixes=("_lsh", "_ex"))
+        assert np.allclose(merged["ngram_jaccard_lsh"], merged["ngram_jaccard_ex"])
+
+
 class TestDetectorPipelines:
     """The F17 train-broadcast-score shape end-to-end: planted anomalies
     must surface through the distributed fit + frozen-model scoring path,

@@ -169,7 +169,12 @@ def main() -> None:
             print(json.dumps({"docs_10x": result["docs_10x"]}), flush=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "scale_proof.json"), "w") as f:
+    out_path = os.path.join(root, "scale_proof.json")
+    if os.path.exists(out_path):  # partial reruns keep the other phases
+        with open(out_path) as f:
+            prev = json.load(f)
+        result = prev | result
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     ray.shutdown()

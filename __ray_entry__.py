@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": textops.minhash_near_dups,
         "ngram_jaccard_exact": textops.ngram_jaccard_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
+        "near_dup_dedup_docs": textops.near_dup_dedup_docs,
+        "near_dup_dedup_exact": textops.near_dup_dedup_exact,
         "simhash_near_dups": textops.simhash_near_dups,
         "winnow_near_dups": textops.winnow_near_dups,
         # vectors
@@ -310,54 +312,83 @@ def _detector_oracle_sqls() -> dict[str, str]:
     }
 
 
+# exact all-pairs word-3-gram Jaccard (anchor for the LSH-candidate
+# ngram_jaccard_dups).  Grams are DISTINCT strings — Jaccard over them
+# equals the Ray side's Jaccard over hash64(gram) sets (collision mass
+# negligible).  Tokenization mirrors functions/text.py word_ngram_sets:
+# split on \s+, no lowercasing, <3-word docs collapse to one whole-doc
+# gram, empty docs pair at similarity 1.0.  Shared by the pair query and
+# the connected-components collapse query so the two cannot diverge.
+_NGRAM_PAIR_CTES = r"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 2,
+                            CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1)) AS i
+        FROM toks
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                    ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+               END AS gram
+        FROM positions
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+    shared AS (
+        SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
+        FROM grams ga JOIN grams gb
+          ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+        GROUP BY 1, 2
+    ),
+    empty AS (SELECT doc_id FROM toks WHERE len(ws) = 0)
+"""
+
+_NGRAM_PAIR_SELECT = """
+    SELECT s.a, s.b,
+           round(CAST(s.inter AS DOUBLE) / (sa.sz + sb.sz - s.inter), 6)
+               AS ngram_jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.a
+    JOIN sizes sb ON sb.doc_id = s.b
+    WHERE CAST(s.inter AS DOUBLE) / (sa.sz + sb.sz - s.inter) >= 0.6
+    UNION ALL
+    SELECT e1.doc_id, e2.doc_id, 1.0
+    FROM empty e1 JOIN empty e2 ON e1.doc_id < e2.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return _history_oracle_sqls() | _detector_oracle_sqls() | {
-        # exact all-pairs word-3-gram Jaccard (anchor for the LSH-candidate
-        # ngram_jaccard_dups).  Grams are DISTINCT strings — Jaccard over
-        # them equals the Ray side's Jaccard over hash64(gram) sets
-        # (collision mass negligible).  Tokenization mirrors
-        # functions/text.py word_ngram_sets: split on \s+, no lowercasing,
-        # <3-word docs collapse to one whole-doc gram, empty docs pair at
-        # similarity 1.0.
-        "ngram_jaccard_exact": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents
+        "ngram_jaccard_exact":
+            f"WITH {_NGRAM_PAIR_CTES} {_NGRAM_PAIR_SELECT} ORDER BY 1, 2",
+        # connected-components collapse of the exact pair set: recursive
+        # min-label propagation over the symmetric edge list; keep the MIN
+        # doc_id per component plus every unpaired doc (mirrors
+        # union_find_components + drop_near_dup_losers).
+        "near_dup_dedup_exact": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            pairs AS ({_NGRAM_PAIR_SELECT}),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
             ),
-            positions AS (
-                SELECT doc_id, ws,
-                       unnest(range(1, greatest(len(ws) - 2,
-                                    CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1)) AS i
-                FROM toks
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, m) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
             ),
-            grams AS (
-                SELECT DISTINCT doc_id,
-                       CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
-                            ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
-                       END AS gram
-                FROM positions
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-            shared AS (
-                SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS inter
-                FROM grams ga JOIN grams gb
-                  ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-                GROUP BY 1, 2
-            ),
-            empty AS (SELECT doc_id FROM toks WHERE len(ws) = 0)
-            SELECT s.a, s.b,
-                   round(CAST(s.inter AS DOUBLE) / (sa.sz + sb.sz - s.inter), 6)
-                       AS ngram_jaccard
-            FROM shared s
-            JOIN sizes sa ON sa.doc_id = s.a
-            JOIN sizes sb ON sb.doc_id = s.b
-            WHERE CAST(s.inter AS DOUBLE) / (sa.sz + sb.sz - s.inter) >= 0.6
-            UNION ALL
-            SELECT e1.doc_id, e2.doc_id, 1.0
-            FROM empty e1 JOIN empty e2 ON e1.doc_id < e2.doc_id
-            ORDER BY 1, 2
+            comp AS (SELECT node, min(m) AS root FROM reach GROUP BY node)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE root <> node)
+            ORDER BY d.doc_id
         """,
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS distinct_user_id FROM events

@@ -213,6 +213,36 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.D
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _collapse_pairs(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
+    from anomaly_detection_ray.stages.dedup import (
+        drop_near_dup_losers,
+        union_find_components,
+    )
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+    comp = union_find_components(pairs)
+    kept = drop_near_dup_losers(ds, "doc_id", comp).to_pandas()
+    return kept.sort_values("doc_id").reset_index(drop=True)
+
+
+def near_dup_dedup_docs(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.DataFrame:
+    """THE collapse step a training-data pipeline runs after near-dup
+    detection: word-n-gram Jaccard pairs → connected components
+    (union-find over the O(near-dups) pair list) → keep the MIN doc_id
+    per component, all unpaired docs untouched.  Scale path: pairs come
+    from the LSH candidate generator (``ngram_jaccard_dups``); the exact
+    twin below is the oracled anchor."""
+    return _collapse_pairs(sf_dir, ngram_jaccard_dups(sf_dir, threshold, n))
+
+
+def near_dup_dedup_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.DataFrame:
+    """Oracled exact twin of :func:`near_dup_dedup_docs`: same collapse
+    over the brute-force all-pairs metric (``ngram_jaccard_exact``), so
+    DuckDB can mirror it with a recursive-CTE connected-components query
+    (min-label propagation) over the same pair set."""
+    return _collapse_pairs(sf_dir, ngram_jaccard_exact(sf_dir, threshold, n))
+
+
 def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
     synthetic near-dup corpus in tests/test_dedup.py)."""

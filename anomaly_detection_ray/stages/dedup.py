@@ -430,6 +430,58 @@ def minhash_near_duplicates(
     return scored.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def union_find_components(pairs: pd.DataFrame, a_col: str = "a",
+                          b_col: str = "b") -> dict:
+    """node → component-root map (root = MIN node id per component) from a
+    near-dup pair list, via driver-side union-find with path compression.
+
+    Driver-side is the right shape here: the pair list is O(near-dups),
+    orders of magnitude smaller than the corpus (the corpus itself never
+    leaves the cluster — only pairs do).  If a corpus ever produced a
+    pair list too big for one machine, swap this for iterative min-label
+    propagation over the pair Dataset (groupby(node).min joined back
+    until fixpoint) — same result, log-diameter rounds."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(pairs[a_col], pairs[b_col]):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx <= ry else (ry, rx)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def drop_near_dup_losers(ds: ray.data.Dataset, id_col: str,
+                         components: dict) -> ray.data.Dataset:
+    """Keep one doc per near-dup component (the MIN id), all unpaired docs
+    untouched: the loser-id set (nodes whose component root isn't
+    themselves — O(near-dups)) is broadcast once and each batch drops its
+    losers with a vectorized ``is_in`` filter.  Same broadcast-winner
+    shape as ``exact_dedup``."""
+    losers = sorted(n for n, r in components.items() if r != n)
+    lref = ray.put(pa.array(losers))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cache = keep.__dict__
+        if "l" not in cache:
+            cache["l"] = ray.get(lref)  # once per worker process
+        if len(cache["l"]) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=cache["l"])))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

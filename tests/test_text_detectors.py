@@ -166,6 +166,41 @@ class TestNgramJaccardExactAnchor:
         assert np.allclose(merged["ngram_jaccard_lsh"], merged["ngram_jaccard_ex"])
 
 
+class TestNearDupCollapse:
+    def test_union_find_chain_and_singletons(self):
+        from anomaly_detection_ray.stages.dedup import union_find_components
+
+        # chain 1-2, 2-3 plus pair 7-9: components {1,2,3} and {7,9}
+        pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 9]})
+        comp = union_find_components(pairs)
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_collapse_keeps_min_per_cluster(self, ray_session):
+        import ray.data as rd
+        from anomaly_detection_ray.stages.dedup import (
+            drop_near_dup_losers,
+            union_find_components,
+        )
+
+        ds = rd.from_items([{"doc_id": i} for i in range(10)])
+        comp = union_find_components(pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 9]}))
+        kept = sorted(drop_near_dup_losers(ds, "doc_id", comp).to_pandas()["doc_id"])
+        assert kept == [0, 1, 4, 5, 6, 7, 8]  # dropped: 2, 3 (root 1), 9 (root 7)
+
+    def test_lsh_and_exact_collapse_agree_on_driver_corpus(self, ray_session):
+        from anomaly_detection_ray.pipelines.textops import (
+            near_dup_dedup_docs,
+            near_dup_dedup_exact,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = near_dup_dedup_exact(sf)["doc_id"].tolist()
+        lsh = near_dup_dedup_docs(sf)["doc_id"].tolist()
+        # LSH can only MISS pairs → it keeps a superset of the exact keepers
+        assert set(exact) <= set(lsh)
+        assert len(lsh) - len(exact) <= max(1, len(exact) // 20)
+
+
 class TestDetectorPipelines:
     """The F17 train-broadcast-score shape end-to-end: planted anomalies
     must surface through the distributed fit + frozen-model scoring path,

@@ -84,6 +84,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from anomaly_detection_ray.pipelines import (
+        audioops,
         history,
         media,
         relational,
@@ -147,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary columns (rows-only; decode pinned by unit tests)
         "image_format_stats": media.image_format_stats,
         "video_frame_summary": media.video_frame_summary,
+        # codec-invariant audio fingerprint dedup (rows-only; planted
+        # transcode ground truth pinned by tests/test_audio.py)
+        "audio_dup_pairs": audioops.audio_dup_pairs,
+        "audio_dedup_clips": audioops.audio_dedup_clips,
         # freshness / completeness over synthetic ingest history
         "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),

@@ -1,0 +1,180 @@
+"""Audio-content operators over the clips table: codec-invariant
+fingerprint near-dup detection and transcode-duplicate collapse.
+
+The audio axis's dedup gap: ``exact_dedup`` hashes BYTES, so the same
+recording stored as pcm16 and µ-law (a transcode, the most common real
+duplicate in scraped audio) never matches.  These operators match on
+Haitsma–Kalker sub-fingerprints of the decoded signal instead
+(functions/audio.py:hk_subfingerprints — published algorithm, ISMIR
+2002), which are invariant to codec, bit depth and sample rate.
+
+Shape (same as the winnowing text pipeline, pipelines/textops.py):
+fused decode+fingerprint partial (bytes DIE in the stage — only
+(fingerprint, clip_id) pairs shuffle, packed per bucket as blobs) →
+inverted-index reducers count shared fingerprints per pair → exact
+overlap verify on candidates via a second semi-filtered decode scan
+(``gather_doc_features``) + a distributed pair-score map
+(``score_pairs``).  Corrupt payloads funnel out silently here (they are
+the decode suite's job to report, stages/decode.py)."""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from anomaly_detection_ray.functions.audio import AudioDecodeError, decode_wav, hk_subfingerprints
+from anomaly_detection_ray.functions.hashing import blob_rows_frame
+from anomaly_detection_ray.sources.readers import read_table
+from anomaly_detection_ray.sources.synth import clips_dups_path
+
+
+def _fp_of_payload(payload) -> np.ndarray:
+    if not payload:  # None / b"" / the "" that gather's `or ""` default yields
+        return np.empty(0, dtype=np.uint64)
+    try:
+        sig, sr, _ = decode_wav(payload)
+    except AudioDecodeError:
+        return np.empty(0, dtype=np.uint64)
+    return hk_subfingerprints(sig, sr)
+
+
+def audio_fingerprint_pairs(
+    clips: ray.data.Dataset,
+    *,
+    num_buckets: int = 16,
+    max_clips_per_fp: int = 32,
+    min_shared: int = 1,
+    min_overlap: float = 0.6,
+) -> pd.DataFrame:
+    """(a, b, shared, overlap) pairs of clips whose sub-fingerprint sets
+    overlap ≥ ``min_overlap`` of the smaller set.  One blob shuffle of
+    (fingerprint, clip_id) pairs; payload bytes never leave the decode
+    stage.  A hot fingerprint (shared by > ``max_clips_per_fp`` clips —
+    e.g. digital silence at corpus scale) switches from all-pairs to a
+    CONSECUTIVE-pair chain over its sorted posting list: O(n) candidates,
+    verify prunes false links, and the union-find collapse treats a chain
+    exactly like a clique — unlike a truncating cap, no dup is silently
+    unreachable (the pair LIST under-reports transitive hot-fp pairs,
+    logged)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fps, ids = [], []
+        for cid, payload in zip(df["clip_id"], df["bytes"]):
+            f = _fp_of_payload(payload)
+            if f.size:
+                fps.append(f)
+                ids.append(np.full(f.size, cid, dtype=object))
+        if not fps:
+            return blob_rows_frame([])
+        allf = np.concatenate(fps)
+        alli = np.concatenate(ids)
+        buckets = (allf % np.uint64(num_buckets)).astype(np.int64)
+        rows = [(int(b), pickle.dumps((allf[buckets == b], alli[buckets == b])))
+                for b in np.unique(buckets)]
+        return blob_rows_frame(rows)
+
+    def shared_counts(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        parts = [pickle.loads(x) for x in g["blob"]]
+        sub = pd.DataFrame({"fp": np.concatenate([p[0] for p in parts]),
+                            "clip": np.concatenate([p[1] for p in parts])})
+        c: Counter = Counter()
+        chained = 0
+        for _, grp in sub.groupby("fp"):
+            clips_here = sorted(grp["clip"].unique().tolist())
+            if len(clips_here) <= max_clips_per_fp:
+                for i, a in enumerate(clips_here):
+                    for b in clips_here[i + 1:]:
+                        c[(a, b)] += 1
+            else:
+                # hot fingerprint (corpus-scale: digital silence, common
+                # tones): O(n²) pairing is unaffordable, but silently
+                # truncating loses real dups.  Emit the CONSECUTIVE-pair
+                # chain over the sorted ids instead — O(n) candidates,
+                # exact verify prunes false links, and the union-find
+                # collapse connects a chain exactly like a clique.  The
+                # PAIR LIST under-reports transitive pairs for these
+                # fingerprints (documented; the collapse does not).
+                chained += len(clips_here)
+                for a, b in zip(clips_here, clips_here[1:]):
+                    c[(a, b)] += 1
+        if chained:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "audio fingerprint chain mode for hot fingerprints: %d clip "
+                "slots pair consecutively instead of all-pairs (cap %d)",
+                chained, max_clips_per_fp)
+        if not c:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "shared": pd.Series(dtype="int64")})
+        ks = list(c)
+        return pd.DataFrame({"a": [k[0] for k in ks], "b": [k[1] for k in ks],
+                             "shared": np.array([c[k] for k in ks], dtype=np.int64)})
+
+    empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
+    per_bucket = (clips.select_columns(["clip_id", "bytes"])
+                  .map_batches(partial, batch_format="pandas", batch_size=None)
+                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas")
+                  .to_pandas())
+    if per_bucket.empty or "a" not in per_bucket.columns:
+        return empty
+    cand = per_bucket.groupby(["a", "b"], as_index=False)["shared"].sum()
+    cand = cand[cand["shared"] >= min_shared]
+    if cand.empty:
+        return empty
+
+    from anomaly_detection_ray.stages.dedup import gather_doc_features, score_pairs
+
+    fmap = gather_doc_features(clips, "clip_id", "bytes",
+                               set(cand["a"]) | set(cand["b"]), _fp_of_payload)
+
+    def overlap(fa, fb):
+        inter = np.intersect1d(fa, fb, assume_unique=True).size
+        return (round(inter / max(min(fa.size, fb.size), 1), 4),)
+
+    scored = score_pairs(cand, fmap, overlap, {"overlap": 0})
+    out = cand.merge(scored, on=["a", "b"])
+    out = out[out["overlap"] >= min_overlap]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _sf_of(sf_dir: str) -> float:
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def _clips_dups_ds(sf_dir: str) -> ray.data.Dataset:
+    n = max(int(60_000 * _sf_of(sf_dir)), 400)
+    return read_table(clips_dups_path(n), columns=["clip_id", "bytes"])
+
+
+def audio_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Codec-invariant audio near-dup pairs over a clips table with
+    planted transcode duplicates (rows-only; the planted ground truth is
+    pinned by tests/test_audio.py — decode is not SQL-expressible)."""
+    return audio_fingerprint_pairs(_clips_dups_ds(sf_dir))
+
+
+def audio_dedup_clips(sf_dir: str) -> pd.DataFrame:
+    """Collapse audio near-dup pairs to one kept clip per content cluster
+    (MIN clip_id), same union-find + broadcast-loser shape as the text
+    collapse (stages/dedup.py)."""
+    from anomaly_detection_ray.stages.dedup import (
+        drop_near_dup_losers,
+        union_find_components,
+    )
+
+    ds = _clips_dups_ds(sf_dir)
+    pairs = audio_fingerprint_pairs(ds)
+    comp = union_find_components(pairs)
+    kept = drop_near_dup_losers(ds.select_columns(["clip_id"]), "clip_id", comp).to_pandas()
+    return kept.sort_values("clip_id").reset_index(drop=True)

@@ -114,6 +114,43 @@ def make_clips_chunk(seed: int, chunk: int, n: int, drift: bool = False,
     )
 
 
+#: planted transcode-duplicate rate for the audio-dedup table
+XCODEC_DUP_RATE = 0.04
+
+
+def make_clips_dups_chunk(seed: int, chunk: int, n: int) -> pa.Table:
+    """Clips chunk with ~XCODEC_DUP_RATE planted TRANSCODE duplicates: a
+    picked row's payload is decoded and re-encoded under a rotated codec
+    and appended under ``<clip_id>-xc`` — the same recording, different
+    bytes, exactly what byte-hash dedup cannot see and the audio
+    fingerprint dedup must.  Ground truth is recoverable from the id
+    suffix, which the planted-pair tests use."""
+    from anomaly_detection_ray.functions.audio import AudioDecodeError, decode_wav
+
+    base = make_clips_chunk(seed, chunk, n)
+    rng = np.random.default_rng((seed, chunk, 11))
+    pick = np.flatnonzero(rng.random(n) < XCODEC_DUP_RATE)
+    rows = {c: base[c].to_pylist() for c in base.column_names}
+    order = {c: i for i, c in enumerate(_CODECS)}
+    for i in pick:
+        try:
+            sig, sr, codec = decode_wav(rows["bytes"][i])
+        except AudioDecodeError:
+            continue  # planted-corrupt payload: nothing to transcode
+        new_codec = str(_CODECS[(order[codec] + 1) % len(_CODECS)])
+        for c in base.column_names:
+            rows[c].append(rows[c][i])
+        rows["clip_id"][-1] = rows["clip_id"][i] + "-xc"
+        rows["codec"][-1] = new_codec
+        rows["bytes"][-1] = encode_wav(sig, sr, new_codec)
+    return pa.table(rows, schema=CLIPS_SCHEMA)
+
+
+def clips_dups_path(n_rows: int, seed: int = 42) -> str:
+    out = os.path.join(_CACHE_ROOT, f"clipsxc-s{seed}-n{n_rows}")
+    return _materialize(out, n_rows, lambda c, m: make_clips_dups_chunk(seed, c, m))
+
+
 def make_transcripts_chunk(seed: int, chunk: int, n: int) -> pa.Table:
     """Side table: same ids/transcripts as the clips chunk, with ~ORPHAN_RATE
     rows dropped (clips without transcript) and ~ORPHAN_RATE fabricated

@@ -129,3 +129,74 @@ class TestScalarBatchAgreement:
 
         feats = audio_qc_scalar_batch([])
         assert all(len(v) == 0 for v in feats.values())
+
+
+class TestAudioFingerprint:
+    """Codec-invariant Haitsma-Kalker sub-fingerprints + the dedup
+    pipeline over planted transcode duplicates."""
+
+    def test_cross_codec_and_rate_invariance(self):
+        import numpy as np
+
+        from anomaly_detection_ray.functions.audio import (
+            decode_wav,
+            encode_wav,
+            hk_subfingerprints,
+        )
+
+        def fpset(sig, sr, codec):
+            dec, dsr, _ = decode_wav(encode_wav(sig, sr, codec))
+            return set(hk_subfingerprints(dec, dsr).tolist())
+
+        t = np.arange(16000) / 16000
+        rng = np.random.default_rng(7)
+        for sig in (0.5 * np.sin(2 * np.pi * 440 * t),
+                    rng.normal(0, 0.2, 16000)):
+            base = fpset(sig, 16000, "pcm16")
+            for codec in ("ulaw", "pcm8", "f32"):
+                s = fpset(sig, 16000, codec)
+                assert len(base & s) / max(min(len(base), len(s)), 1) >= 0.6, codec
+        # distinct content never matches
+        a = fpset(0.5 * np.sin(2 * np.pi * 220 * t), 16000, "pcm16")
+        b = fpset(0.5 * np.sin(2 * np.pi * 917 * t), 16000, "pcm16")
+        assert len(a & b) == 0
+        # sample-rate invariance (canonical 8 kHz front-end)
+        s8 = fpset(0.5 * np.sin(2 * np.pi * 450 * np.arange(8000) / 8000), 8000, "pcm16")
+        s44 = fpset(0.5 * np.sin(2 * np.pi * 450 * np.arange(44100) / 44100), 44100, "pcm16")
+        assert len(s8 & s44) / max(min(len(s8), len(s44)), 1) >= 0.6
+
+    def test_degenerate_signals(self):
+        import numpy as np
+
+        from anomaly_detection_ray.functions.audio import hk_subfingerprints, resample_linear
+
+        assert hk_subfingerprints(np.empty(0, dtype=np.float32), 16000).size == 0
+        assert hk_subfingerprints(np.zeros(100, dtype=np.float32), 16000).size >= 0
+        assert resample_linear(np.empty(0, dtype=np.float32), 16000, 8000).size == 0
+        x = resample_linear(np.ones(1000, dtype=np.float32), 16000, 8000)
+        assert x.size == 500 and np.allclose(x, 1.0)
+
+    def test_planted_transcode_dups_found(self, ray_session):
+        from anomaly_detection_ray.pipelines.audioops import (
+            audio_dedup_clips,
+            audio_dup_pairs,
+        )
+        from anomaly_detection_ray.sources.synth import clips_dups_path
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"  # -> 400-row base table
+        pairs = audio_dup_pairs(sf)
+        found = set(zip(pairs["a"], pairs["b"]))
+        tbl = pq.read_table(clips_dups_path(400), columns=["clip_id"])
+        ids = tbl["clip_id"].to_pylist()
+        planted = {(i, i + "-xc") for i in ids if i + "-xc" in set(ids)}
+        assert planted, "generator planted nothing at n=400"
+        missed = planted - found
+        assert len(missed) <= max(1, len(planted) // 10), f"missed {missed}"
+        # collapse never keeps the -xc transcode of a found pair (the base
+        # id sorts first; the base itself may additionally cluster with a
+        # smaller near-identical tone, which is correct near-dup behavior)
+        kept = set(audio_dedup_clips(sf)["clip_id"])
+        for _, b in planted - missed:
+            assert b not in kept
+        assert len(kept) < len(ids)

@@ -135,6 +135,22 @@ def run_docs(n_docs: int, n_vecs: int) -> dict:
     return out
 
 
+def run_audio(n_clips: int) -> dict:
+    from anomaly_detection_ray.pipelines.audioops import audio_fingerprint_pairs
+    from anomaly_detection_ray.sources.readers import read_table
+    from anomaly_detection_ray.sources.synth import clips_dups_path
+
+    p = clips_dups_path(n_clips)
+    out: dict = {"n_clips": n_clips}
+    with WorkerRssMonitor() as mon:
+        t0 = time.perf_counter()
+        pairs = audio_fingerprint_pairs(read_table(p, columns=["clip_id", "bytes"]))
+        out["audio_dup_pairs"] = {"wall_s": round(time.perf_counter() - t0, 1),
+                                  "rows": int(len(pairs))}
+    out["max_worker_rss_mb"] = round(_mb(mon.max_single), 0)
+    return out
+
+
 def _mb(b: float) -> float:
     return b / (1024 * 1024)
 
@@ -143,6 +159,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-suite", action="store_true")
     ap.add_argument("--skip-docs", action="store_true")
+    ap.add_argument("--skip-audio", action="store_true")
     ap.add_argument("--small-only", action="store_true",
                     help="run only the 1x control runs (smoke)")
     args = ap.parse_args()
@@ -167,6 +184,12 @@ def main() -> None:
         if not args.small_only:
             result["docs_10x"] = run_docs(50_000, 20_000)
             print(json.dumps({"docs_10x": result["docs_10x"]}), flush=True)
+    if not args.skip_audio:
+        result["audio_1x"] = run_audio(6_000)
+        print(json.dumps({"audio_1x": result["audio_1x"]}), flush=True)
+        if not args.small_only:
+            result["audio_10x"] = run_audio(60_000)
+            print(json.dumps({"audio_10x": result["audio_10x"]}), flush=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "scale_proof.json")

@@ -269,10 +269,13 @@ def _detector_oracle_sqls() -> dict[str, str]:
     )
 
     # Fits depend on the events table, but oracle_sql() takes no sf_dir —
-    # so embed per-scale literals for each testdata scale and dispatch on
-    # the registered view's row count (driver scale sf0.01 is the ELSE arm;
-    # the repo's own parity test runs the same SQL at sf0.001).
-    scales = [s for s in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    # so embed per-scale literals for EVERY shipped testdata scale and
+    # dispatch on the registered view's row count.  An unknown scale must
+    # fail LOUDLY (DuckDB error()) — silently scoring with another scale's
+    # frozen fits would report the pipeline as wrong when the oracle is
+    # the stale side.
+    scales = [s for s in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                          "/root/testdata/sf0.1")
               if os.path.exists(f"{s}/events.parquet")]
     hi_p, lo_p, sp_p = {}, {}, {}
     for s in scales:
@@ -293,9 +296,9 @@ def _detector_oracle_sqls() -> dict[str, str]:
     def dispatch(preds: dict[int, str]) -> str:
         arms = " ".join(
             f"WHEN (SELECT count(*) FROM events) = {n} THEN ({p})"
-            for n, p in list(preds.items())[:-1])
-        last = list(preds.values())[-1]
-        return f"CASE {arms} ELSE ({last}) END" if arms else f"({last})"
+            for n, p in preds.items())
+        return (f"CASE {arms} ELSE error('stale detector oracle: no frozen "
+                f"fits for this events scale') END")
 
     hi, lo, sp = dispatch(hi_p), dispatch(lo_p), dispatch(sp_p)
     return {

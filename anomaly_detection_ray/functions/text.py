@@ -186,3 +186,14 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 0.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (a.size + b.size - inter)
+
+
+def round_half_up6(x: float) -> float:
+    """Round to 6 decimals with HALF-AWAY-FROM-ZERO on non-negatives —
+    DuckDB's round() semantics.  Python/numpy round half-to-even, so a
+    dyadic score like 77/128 rounds to 0.601562 in Python but 0.601563 in
+    the SQL oracle; every score column that an oracle mirrors must use
+    this instead of round() or the value hash diverges on exact halves."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6

@@ -54,11 +54,13 @@ def audio_fingerprint_pairs(
     (fingerprint, clip_id) pairs; payload bytes never leave the decode
     stage.  A hot fingerprint (shared by > ``max_clips_per_fp`` clips —
     e.g. digital silence at corpus scale) switches from all-pairs to a
-    CONSECUTIVE-pair chain over its sorted posting list: O(n) candidates,
-    verify prunes false links, and the union-find collapse treats a chain
-    exactly like a clique — unlike a truncating cap, no dup is silently
-    unreachable (the pair LIST under-reports transitive hot-fp pairs,
-    logged)."""
+    2-hop chain over its sorted posting list: O(n) candidates, verify
+    prunes false links, and the union-find collapse treats a verified
+    chain like a clique — unlike a truncating cap, every clip stays
+    reachable through its chain neighbors.  Caveats (logged): the pair
+    LIST under-reports transitive hot-fp pairs, and a run of ≥2
+    consecutive non-duplicate interlopers between two true dups can still
+    split that cluster (the 2-hop link covers single interlopers)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         fps, ids = [], []
@@ -93,14 +95,19 @@ def audio_fingerprint_pairs(
             else:
                 # hot fingerprint (corpus-scale: digital silence, common
                 # tones): O(n²) pairing is unaffordable, but silently
-                # truncating loses real dups.  Emit the CONSECUTIVE-pair
-                # chain over the sorted ids instead — O(n) candidates,
-                # exact verify prunes false links, and the union-find
-                # collapse connects a chain exactly like a clique.  The
-                # PAIR LIST under-reports transitive pairs for these
-                # fingerprints (documented; the collapse does not).
+                # truncating loses real dups.  Emit a 2-hop chain over the
+                # sorted ids instead — (i,i+1) and (i,i+2), still O(n)
+                # candidates; exact verify prunes false links and the
+                # union-find collapse treats a verified chain like a
+                # clique.  Limits (documented, logged): the pair LIST
+                # under-reports transitive hot-fp pairs, and ≥2 adjacent
+                # ids that fail verify against both neighbors can still
+                # split a true cluster — the 2-hop link covers the common
+                # single-interloper case.
                 chained += len(clips_here)
                 for a, b in zip(clips_here, clips_here[1:]):
+                    c[(a, b)] += 1
+                for a, b in zip(clips_here, clips_here[2:]):
                     c[(a, b)] += 1
         if chained:
             import logging
@@ -144,15 +151,9 @@ def audio_fingerprint_pairs(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _sf_of(sf_dir: str) -> float:
-    import os
-    import re
-
-    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
-    return float(m.group(1)) if m else 0.001
-
-
 def _clips_dups_ds(sf_dir: str) -> ray.data.Dataset:
+    from anomaly_detection_ray.pipelines.media import _sf_of
+
     n = max(int(60_000 * _sf_of(sf_dir)), 400)
     return read_table(clips_dups_path(n), columns=["clip_id", "bytes"])
 

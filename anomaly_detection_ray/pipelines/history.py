@@ -126,7 +126,14 @@ def history_windowed_commits(history_dir: str | None = None,
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         sel, fb = _select_history_window(g, eval_ts, days_limit)
         if sel.empty:
-            return pd.DataFrame()  # no surviving commits → no row (oracle GROUP BY twin)
+            # no surviving commits → no row (oracle GROUP BY twin); TYPED
+            # empty — a bare pd.DataFrame() has zero columns and a task
+            # whose groups all land here would emit a schema-less block
+            # that diverges from the 4-column blocks (hashing.py:85-93)
+            return pd.DataFrame({"partition_id": pd.Series(dtype=g["partition_id"].dtype),
+                                 "n_commits": pd.Series(dtype="int64"),
+                                 "last_commit_ts": pd.Series(dtype=g["timestamp"].dtype),
+                                 "used_fallback": pd.Series(dtype="int64")})
         return pd.DataFrame([{
             "partition_id": g["partition_id"].iloc[0],
             "n_commits": np.int64(len(sel)),

@@ -142,7 +142,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.Da
     scan + score_pairs broadcast pair map).  The standalone entry for the
     dedup family's n-gram Jaccard member — the verify metric differs from
     minhash_near_dups' char-shingle Jaccard."""
-    from anomaly_detection_ray.functions.text import jaccard, word_ngram_sets
+    from anomaly_detection_ray.functions.text import jaccard, round_half_up6, word_ngram_sets
     from anomaly_detection_ray.stages.dedup import (
         gather_doc_features,
         minhash_candidate_pairs,
@@ -157,7 +157,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.Da
         ds, "doc_id", "text", set(cand["a"]) | set(cand["b"]),
         lambda t: word_ngram_sets(pd.Series([t]), n=n)[0])
     scored = score_pairs(cand, fmap,
-                         lambda fa, fb: (round(jaccard(fa, fb), 6),),
+                         lambda fa, fb: (round_half_up6(jaccard(fa, fb)),),
                          {"ngram_jaccard": 0})
     out = scored[scored["ngram_jaccard"] >= threshold]
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -175,7 +175,7 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.D
     Hashed gram sets have negligible collision mass, so Jaccard over
     hashes equals Jaccard over distinct gram strings — what the SQL oracle
     computes."""
-    from anomaly_detection_ray.functions.text import jaccard, word_ngram_sets
+    from anomaly_detection_ray.functions.text import jaccard, round_half_up6, word_ngram_sets
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     full = ds.to_pandas().sort_values("doc_id")  # verification-scale gather
@@ -195,7 +195,7 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.D
             for j in range(cache["idx"][did] + 1, all_ids.size):
                 jac = jaccard(fa, all_sets[j])
                 if jac >= threshold:
-                    rows.append((did, int(all_ids[j]), round(jac, 6)))
+                    rows.append((did, int(all_ids[j]), round_half_up6(jac)))
         if not rows:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),

@@ -40,7 +40,16 @@ def read_table(
         try:
             import lance  # noqa: F401
 
-            return ray.data.read_lance(path, columns=list(columns) if columns else None, **kwargs)
+            if override_num_blocks is not None:
+                kwargs["override_num_blocks"] = override_num_blocks
+            ds = ray.data.read_lance(path, columns=list(columns) if columns else None, **kwargs)
+            if filter is not None:
+                # read_lance has no Arrow-expression pushdown parameter;
+                # silently returning unfiltered rows would be a semantics
+                # divergence (same contract as the CSV/JSON branch below)
+                ds = ds.map_batches(lambda t, _f=filter: t.filter(_f),
+                                    batch_format="pyarrow")
+            return ds
         except ImportError:
             pass
     low = path.lower()

@@ -264,12 +264,19 @@ def exact_order_stats(
       identical): the rank's value IS the window bound once the counts
       confirm containment; resolved with no value shipping at all.
 
-    Windows that miss their rank (sketch bracket too tight) retry with a
-    geometrically wider window inside the current candidate region; a
-    fully-widened window is (-inf, inf), which always contains the rank
-    and flips the rank into the refine path — so the driver-side sort
-    fallback this replaced is not just guarded but impossible.  This is
-    the exact verification anchor for the t-digest quantile path
+    Windows that miss their rank JUMP instead of merely widening: the
+    counting pass also ships each block's nearest values outside the
+    window (max < lo, min > hi), so a miss converts its exact counts into
+    a new candidate region on the correct side of the gap — `cnt_lt > r`
+    → region (lo_bound, max_lt]; `r ≥ cnt_lt + cnt_in` → region
+    [min_gt, hi_bound).  This is what resolves LOW-CARDINALITY columns:
+    a two-valued column's digest interpolates quantiles into the EMPTY
+    gap between the mass points, where pad-widening alone cycles
+    (widen → full window → refine rebuilds the same digest → widen …)
+    and the old code exhausted max_rounds.  Future windows clamp to the
+    verified region bounds rather than ±inf, so a refined region can
+    never silently re-expand.  No driver-side sort exists on any path.
+    This is the exact verification anchor for the t-digest quantile path
     (state/sketches.py TDigest), mirroring how the reference pins its
     approximate detectors with exact twins in tests.
     """
@@ -291,8 +298,9 @@ def exact_order_stats(
 
     resolved: dict[int, float] = {}
     # per-rank candidate region: (bracketing digest over the region,
-    # exact count of values below the region, count of values in it)
-    region = {r: (tdigest, 0, n) for r in ranks}
+    # exact count of values below the region, count of values in it,
+    # verified value bounds of the region)
+    region = {r: (tdigest, 0, n, -np.inf, np.inf) for r in ranks}
     pads = {r: pad for r in ranks}
     for _ in range(max_rounds):
         todo = [r for r in ranks if r not in resolved]
@@ -300,11 +308,11 @@ def exact_order_stats(
             break
         specs = []  # (rank, lo, hi, collect?)
         for r in todo:
-            dg, below, rn = region[r]
+            dg, below, rn, lo_b, hi_b = region[r]
             q = (r - below) / max(rn - 1, 1)
             p = pads[r]
-            lo = -np.inf if q - p <= 0 else float(dg.quantile([q - p])[0])
-            hi = np.inf if q + p >= 1 else float(dg.quantile([q + p])[0])
+            lo = lo_b if q - p <= 0 else float(np.clip(dg.quantile([q - p])[0], lo_b, hi_b))
+            hi = hi_b if q + p >= 1 else float(np.clip(dg.quantile([q + p])[0], lo_b, hi_b))
             cdfs = dg.cdf([lo, hi])
             est_in = rn * float(np.clip(cdfs[1] - cdfs[0], 0.0, 1.0))
             collect = lo < hi and est_in <= collect_cap
@@ -316,20 +324,36 @@ def exact_order_stats(
             v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[~np.isnan(v)]
             js, lts, ins, vals, digs = [], [], [], [], []
+            mlts, mgts, mins, maxs = [], [], [], []
             for j, (_, lo, hi, collect) in enumerate(_specs):
                 w = v[(v >= lo) & (v <= hi)]
+                below = v < lo
+                above = v > hi
                 js.append(j)
-                lts.append(int((v < lo).sum()))
+                lts.append(int(below.sum()))
                 ins.append(len(w))
                 vals.append(w.tolist() if collect else [])
                 digs.append(None if (collect or not len(w))
                             else TDigest().add_many(w).to_bytes())
+                # nearest values OUTSIDE the window — a missed bracket
+                # jumps the region across the empty gap using these
+                mlts.append(float(v[below].max()) if below.any() else None)
+                mgts.append(float(v[above].min()) if above.any() else None)
+                # verified value bounds INSIDE the window — a refined
+                # region clamps to these, so a boundary rank whose window
+                # edge is ±inf still collapses to its mass point
+                mins.append(float(w.min()) if len(w) else None)
+                maxs.append(float(w.max()) if len(w) else None)
             return pa.table({
                 "j": pa.array(js, pa.int64()),
                 "cnt_lt": pa.array(lts, pa.int64()),
                 "cnt_in": pa.array(ins, pa.int64()),
                 "vals": pa.array(vals, pa.list_(pa.float64())),
                 "digest": pa.array(digs, pa.binary()),
+                "max_lt": pa.array(mlts, pa.float64()),
+                "min_gt": pa.array(mgts, pa.float64()),
+                "min_in": pa.array(mins, pa.float64()),
+                "max_in": pa.array(maxs, pa.float64()),
             })
 
         parts = ds.map_batches(count_pass, batch_format="pyarrow").to_pandas()
@@ -337,11 +361,33 @@ def exact_order_stats(
             sub = parts[parts["j"] == j]
             cnt_lt = int(sub["cnt_lt"].sum())
             cnt_in = int(sub["cnt_in"].sum())
+            dg, below, rn, lo_b, hi_b = region[r]
             if not (cnt_lt <= r < cnt_lt + cnt_in):
-                # bracket missed: widen in-region, flooring at one rank's
-                # quantile width so a pathologically tiny pad (1e-12)
-                # can't stall the geometric widening below digest error
-                rn = region[r][2]
+                # bracket missed — JUMP the region across the gap using
+                # the exact counts + nearest outside values (the digest's
+                # interpolated quantiles can land in an EMPTY gap between
+                # mass points, where widening alone cycles forever)
+                # IMPORTANT: only the verified value BOUNDS narrow on a
+                # jump — (below, rn) stay as the DIGEST's frame, because
+                # the digest is not rebuilt here and q must be computed
+                # in the digest's own frame (mixing frames degenerates
+                # the probe to a single boundary point that walks back
+                # one rank per round).  Clipping the probed quantiles to
+                # the narrowed bounds is what moves the window across
+                # the gap.
+                if r < cnt_lt:
+                    max_lt = sub["max_lt"].dropna()
+                    new_hi = float(max_lt.max())  # nonempty: cnt_lt > r ≥ 0
+                    region[r] = (dg, below, rn, lo_b, new_hi)
+                else:
+                    min_gt = sub["min_gt"].dropna()
+                    new_lo = float(min_gt.min())  # nonempty: r < n total
+                    region[r] = (dg, below, rn, new_lo, hi_b)
+                # ALSO widen the pad geometrically (floored at one rank's
+                # quantile width): bounds-narrowing guarantees progress,
+                # so widening can't cycle — and a pathologically tiny
+                # pad (1e-12 over continuous data) needs it to ever
+                # contain the rank within max_rounds
                 pads[r] = max(pads[r] * 4.0, 1.0 / max(rn - 1, 1))
                 continue
             if collect:
@@ -351,12 +397,21 @@ def exact_order_stats(
                 resolved[r] = float(window[r - cnt_lt])
             elif lo == hi:  # mass point: all candidates share one value
                 resolved[r] = float(lo)
-            else:  # refine: re-bracket inside the window next round
-                dg = _merge_sketch_column(sub["digest"])
-                region[r] = (dg, cnt_lt, cnt_in)
-                pads[r] = pad
+            else:  # refine: re-bracket inside the VERIFIED value bounds
+                # of the window (not the probed [lo, hi] — a boundary
+                # rank's probe edge can be ±inf, which would let a
+                # single-valued region cycle forever instead of
+                # collapsing to its mass point)
+                min_in = float(sub["min_in"].min())
+                max_in = float(sub["max_in"].max())
+                if min_in == max_in:  # mass point: one value in region
+                    resolved[r] = min_in
+                else:
+                    dg = _merge_sketch_column(sub["digest"])
+                    region[r] = (dg, cnt_lt, cnt_in, min_in, max_in)
+                    pads[r] = pad
     missing = [r for r in ranks if r not in resolved]
-    if missing:  # unreachable: widening ends at (-inf, inf) ⊇ every rank
+    if missing:
         raise RuntimeError(
             f"exact_order_stats failed to bracket ranks {missing} after "
             f"{max_rounds} rounds — raise max_rounds")

@@ -321,8 +321,14 @@ class FreqSketch(Sketch):
         Pairs are inserted heaviest-first (ties broken by key) so that when
         the slice has more distinct values than ``cap``, the retained key
         set is the heavy hitters — matching ``add_many``'s value_counts
-        admission order — with a deterministic tie rule on top."""
-        pairs = sorted(zip(keys, counts), key=lambda kc: (-int(kc[1]), str(kc[0])))
+        admission order — with a deterministic tie rule on top.  The sort
+        only matters when the batch can overflow the remaining capacity;
+        below that, admission order cannot change the retained set, so the
+        hot path (per-(partition, column) suite slices, usually ≪ cap)
+        skips the O(d log d) pass."""
+        pairs = list(zip(keys, counts))
+        if len(pairs) > self.cap - len(self.counts):
+            pairs = sorted(pairs, key=lambda kc: (-int(kc[1]), str(kc[0])))
         for k, c in pairs:
             key = "__null__" if (k is None or (isinstance(k, float) and np.isnan(k))) else str(k)
             self._bump(key, int(c))

@@ -224,6 +224,36 @@ class TestExactOrderStats:
         got = exact_order_stats(ds, "value", [2_500], pad=1e-12)
         assert got[2_500] == np.sort(v)[2_500]
 
+
+    def test_low_cardinality_gap_jump(self, ray_session):
+        # the round-3 review repro: a two-valued column's digest
+        # interpolates quantiles into the EMPTY gap between the mass
+        # points; with in-window mass above collect_cap the old
+        # widen-refine loop cycled and raised after max_rounds.  The
+        # gap-jump must resolve every rank exactly, including the two
+        # boundary ranks around the jump.
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        v = np.concatenate([np.zeros(20_000), np.ones(20_000)])
+        np.random.default_rng(6).shuffle(v)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        got = exact_order_stats(ds, "value", [0, 19_999, 20_000, 39_999],
+                                collect_cap=2_000)
+        assert got == {0: 0.0, 19_999: 0.0, 20_000: 1.0, 39_999: 1.0}
+
+    def test_three_valued_with_skew(self, ray_session):
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        v = np.concatenate([np.full(9_000, -2.5), np.full(30_000, 0.0),
+                            np.full(1_000, 7.0)])
+        np.random.default_rng(7).shuffle(v)
+        ds = rd.from_pandas(pd.DataFrame({"value": v}))
+        ranks = [0, 8_999, 9_000, 38_999, 39_000, 39_999]
+        got = exact_order_stats(ds, "value", ranks, collect_cap=500)
+        want = np.sort(v)
+        for r in ranks:
+            assert got[r] == want[r], r
+
     def test_mass_point_resolves_via_refine(self, ray_session):
         # adversarial distribution: 60% of all values are ONE number
         # sitting exactly at the queried quantile, so the bracket window

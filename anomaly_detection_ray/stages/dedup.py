@@ -31,7 +31,11 @@ import ray.data
 
 from anomaly_detection_ray.functions.hashing import combine_columns, hash64
 from anomaly_detection_ray.functions.text import char_shingle_hashes, jaccard, word_ngram_sets
-from anomaly_detection_ray.state.sketches import MinHasher, hamming64, simhash64
+from anomaly_detection_ray.state.sketches import (
+    OnePermMinHasher,
+    hamming64,
+    simhash64_concat,
+)
 
 CONTENT_HASH = "__chash__"
 
@@ -239,8 +243,11 @@ def estimate_pairs_from_signatures(cand: pd.DataFrame, sig_map: dict,
 class MinHashBands:
     """Actor stage: documents → (band, band_hash, doc_id) rows.
 
-    Permutation coefficients build once per actor (__init__), signatures
-    per batch.  bands × rows_per_band must equal num_perm.
+    Signatures are one-permutation MinHash (state/sketches.py
+    OnePermMinHasher — O(shingles) per document, batch-reduced with zero
+    per-document Python work), replacing the k-permutation affine
+    construction that was the dedup family's CPU ceiling (VERDICT r2).
+    bands × rows_per_band must equal num_perm.
     """
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
@@ -248,7 +255,7 @@ class MinHashBands:
         assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
-        self.hasher = MinHasher(num_perm)
+        self.hasher = OnePermMinHasher(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
@@ -265,7 +272,8 @@ class MinHashBands:
         n = len(texts)
         if n == 0:
             return ids, np.empty((0, self.bands), dtype=np.int64)
-        sigs = np.stack([self.signature(t or "") for t in texts])  # (n, perm)
+        sigs = self.hasher.signatures(
+            [char_shingle_hashes(t or "", self.shingle_k) for t in texts])
         S = sigs.reshape(n, self.bands, self.rows_per_band)
         gold = np.uint64(0x9E3779B97F4A7C15)
         acc = np.zeros((n, self.bands), dtype=np.uint64)
@@ -498,11 +506,16 @@ class SimHashStage:
         import re
 
         texts = batch[self.text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = re.findall(r"\w+", (t or "").lower())
-            if toks:
-                out[i] = simhash64(hash64(np.array(toks, dtype=object)))
+        # tokenize per doc (C regex), then ONE vectorized hash over the
+        # concatenated token stream and a segmented batch simhash — the
+        # per-document simhash64 calls (a fresh tokens × 64 float matrix
+        # each) were the stage's CPU ceiling (VERDICT r2)
+        tok_lists = [re.findall(r"\w+", (t or "").lower()) for t in texts]
+        sizes = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
+        flat = [w for tk in tok_lists for w in tk]
+        concat = (hash64(np.array(flat, dtype=object)) if flat
+                  else np.empty(0, dtype=np.uint64))
+        out = simhash64_concat(concat, sizes)
         cols = {"doc_id": batch[self.id_col], "simhash": pa.array(out.astype(np.int64))}
         for b in range(4):
             cols[f"band{b}"] = pa.array(

@@ -394,6 +394,127 @@ class MinHasher:
             vals = (h[:, None] * self.a[None, :] + self.b[None, :]) & _MASK64
         return vals.min(axis=0)
 
+class OnePermMinHasher:
+    """One-permutation MinHash (Li, Owen & Zhang, NIPS 2012) with
+    rotation densification (Shrivastava & Li, ICML 2014).
+
+    Each shingle hash is binned by its TOP log2(k) bits; the signature
+    component for a bin is the minimum hash landing in it; an empty bin
+    borrows cyclically from the nearest non-empty bin to its left with a
+    distance offset (collision on a densified component then requires the
+    same source value AND the same borrow distance — the 2014 scheme).
+
+    Versus the k-permutation affine construction (MinHasher), signature
+    cost drops from O(s·k) multiply-adds to O(s) — at corpus scale the
+    signature pass stops being the dedup family's CPU ceiling.  The
+    estimator is the same: P(component collision) ≈ Jaccard, so LSH
+    banding theory (pick_lsh_bands) applies unchanged.
+
+    ``signatures`` requires each hash set SORTED ASCENDING UNIQUE
+    (char_shingle_hashes' np.unique contract): top-bit binning then keeps
+    (doc, bin) runs contiguous in the concatenated array, so the whole
+    batch reduces with one np.diff + first-of-run take — no per-document
+    Python work and no (s × k) intermediate at all."""
+
+    def __init__(self, num_perm: int = 128):
+        assert num_perm > 0 and (num_perm & (num_perm - 1)) == 0, \
+            "num_perm must be a power of two (top-bit binning)"
+        self.num_perm = num_perm
+        self.shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+        self._C = np.uint64(0x9E3779B97F4A7C15)  # densification offset
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature of one document."""
+        return self.signatures([shingle_hashes])[0]
+
+    def signatures(self, hash_sets) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signatures for sorted-unique sets."""
+        n = len(hash_sets)
+        k = self.num_perm
+        sig = np.full((n, k), _MASK64, dtype=np.uint64)
+        sizes = np.array([h.size for h in hash_sets], dtype=np.int64)
+        nz = np.flatnonzero(sizes)  # fully-empty docs stay all-MASK64
+        if nz.size == 0:
+            return sig
+        concat = np.concatenate(
+            [np.asarray(hash_sets[i], dtype=np.uint64) for i in nz])
+        seg = np.repeat(np.arange(nz.size, dtype=np.int64), sizes[nz])
+        bins = (concat >> self.shift).astype(np.int64)
+        combined = seg * k + bins  # strictly non-decreasing (sorted sets)
+        first = np.empty(combined.size, dtype=bool)
+        first[0] = True
+        np.not_equal(combined[1:], combined[:-1], out=first[1:])
+        tmp = np.full((nz.size, k), _MASK64, dtype=np.uint64)
+        tmp.reshape(-1)[combined[first]] = concat[first]  # min = run head
+        sig[nz] = self._densify(tmp)
+        return sig
+
+    def _densify(self, sig: np.ndarray) -> np.ndarray:
+        """Rotation-densify empty bins in place (rows have ≥1 filled)."""
+        empty = sig == _MASK64
+        if not empty.any():
+            return sig
+        k = self.num_perm
+        cols = np.arange(k, dtype=np.int64)[None, :]
+        idx = np.where(~empty, cols, -1)
+        left = np.maximum.accumulate(idx, axis=1)  # nearest filled ≤ j
+        src = np.where(left >= 0, left, left[:, -1:])  # wrap: last filled
+        dist = ((cols - src) % k).astype(np.uint64)
+        vals = np.take_along_axis(sig, src, axis=1)
+        with np.errstate(over="ignore"):
+            vals += dist * self._C
+        return np.where(empty, vals, sig)
+
+
+_SIMHASH_POWS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+_simhash_bufs: dict[str, np.ndarray] = {}  # per-process warm scratch
+
+
+def simhash64_concat(concat: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """(n_docs,) uint64 SimHashes over CONCATENATED token hashes with
+    per-document ``sizes`` — batch-vectorized, bit-identical to unit-weight
+    ``simhash64`` per document (bit i set ⇔ 2·(# tokens with bit i) >
+    n_tokens; empty documents hash to 0).
+
+    Per-bit counts come from 64 ``np.add.reduceat`` passes over a WARM
+    per-process scratch buffer (see MinHasher.signatures on why warm), so
+    no per-document Python work and no (tokens × 64) float matrix exists.
+    Single-threaded per worker process (Ray map_batches' model) — the
+    module-level scratch is not thread-safe."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = sizes.size
+    out = np.zeros(n, dtype=np.uint64)
+    nz = np.flatnonzero(sizes)
+    if nz.size == 0:
+        return out
+    concat = np.asarray(concat, dtype=np.uint64)
+    nz_sizes = sizes[nz]
+    cap = 1 << 18  # tokens per chunk; scratch = 2 MB
+    tmp = _simhash_bufs.get("tmp")
+    if tmp is None or tmp.shape[0] < cap:
+        tmp = _simhash_bufs["tmp"] = np.empty(cap, dtype=np.uint64)
+    counts = np.empty((nz.size, 64), dtype=np.int64)
+    dlo = rlo = 0
+    while dlo < nz.size:
+        dhi, rows = dlo, 0
+        while dhi < nz.size and (rows == 0 or rows + nz_sizes[dhi] <= cap):
+            rows += int(nz_sizes[dhi])
+            dhi += 1
+        m = rows
+        t = tmp if m <= tmp.shape[0] else np.empty(m, dtype=np.uint64)
+        starts = np.zeros(dhi - dlo, dtype=np.int64)
+        np.cumsum(nz_sizes[dlo:dhi - 1], out=starts[1:])
+        chunk = concat[rlo:rlo + m]
+        for bit in range(64):
+            np.right_shift(chunk, np.uint64(bit), out=t[:m])
+            np.bitwise_and(t[:m], np.uint64(1), out=t[:m])
+            counts[dlo:dhi, bit] = np.add.reduceat(t[:m], starts)
+        dlo, rlo = dhi, rlo + m
+    bits = (2 * counts > nz_sizes[:, None])
+    out[nz] = (bits.astype(np.uint64) * _SIMHASH_POWS[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    return out
+
 
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
     """64-bit SimHash of one document's token hashes (Charikar 2002)."""

@@ -183,3 +183,76 @@ def test_hll_sparse_wire_format_roundtrip():
     ref = HyperLogLog().add_many(np.arange(50)).merge(
         HyperLogLog().add_many(np.arange(100_000)))
     assert np.array_equal(merged.registers, ref.registers)
+
+
+class TestOnePermMinHash:
+    """OnePermMinHasher: the O(shingles) scale path for LSH signatures.
+    Pinned against the k-permutation affine MinHasher as the estimator
+    reference (both must track true Jaccard within binomial error)."""
+
+    def test_batch_equals_single_and_empty_rows(self):
+        import numpy as np
+
+        from anomaly_detection_ray.state.sketches import OnePermMinHasher
+
+        rng = np.random.default_rng(0)
+        oph = OnePermMinHasher(128)
+        sets = [np.unique(rng.integers(0, 2**64, size=s, dtype=np.uint64))
+                for s in (500, 3, 50_000)] + [np.empty(0, dtype=np.uint64)]
+        batch = oph.signatures(sets)
+        for i, s in enumerate(sets):
+            assert np.array_equal(batch[i], oph.signature(s)), i
+        assert (batch[3] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+    def test_densification_fills_every_bin_deterministically(self):
+        import numpy as np
+
+        from anomaly_detection_ray.state.sketches import OnePermMinHasher
+
+        oph = OnePermMinHasher(128)
+        tiny = np.unique(np.random.default_rng(1).integers(
+            0, 2**64, size=5, dtype=np.uint64))  # ≥123 empty bins
+        s1, s2 = oph.signature(tiny), oph.signature(tiny)
+        assert np.array_equal(s1, s2)
+        assert (s1 != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        # identical docs always collide on every component
+        assert np.array_equal(oph.signatures([tiny, tiny])[0],
+                              oph.signatures([tiny, tiny])[1])
+
+    def test_estimator_tracks_jaccard_like_affine(self):
+        import numpy as np
+
+        from anomaly_detection_ray.state.sketches import MinHasher, OnePermMinHasher
+
+        oph, mh = OnePermMinHasher(128), MinHasher(128)
+        errs_o, errs_a = [], []
+        for t in range(25):
+            r = np.random.default_rng(t)
+            sh = np.unique(r.integers(0, 2**64, size=400, dtype=np.uint64))
+            a = np.unique(np.concatenate(
+                [sh, r.integers(0, 2**64, size=200, dtype=np.uint64)]))
+            b = np.unique(np.concatenate(
+                [sh, r.integers(0, 2**64, size=200, dtype=np.uint64)]))
+            tj = np.intersect1d(a, b).size / np.union1d(a, b).size
+            sa, sb = oph.signatures([a, b])
+            errs_o.append(float((sa == sb).mean()) - tj)
+            errs_a.append(float((mh.signature(a) == mh.signature(b)).mean()) - tj)
+        # unbiased within noise, and variance comparable to true k-perm
+        assert abs(np.mean(errs_o)) < 0.03
+        assert np.std(errs_o) < 2.5 * max(np.std(errs_a), 0.02)
+
+
+def test_simhash_concat_matches_per_doc():
+    import numpy as np
+
+    from anomaly_detection_ray.state.sketches import simhash64, simhash64_concat
+
+    rng = np.random.default_rng(3)
+    sets = [rng.integers(0, 2**64, size=s, dtype=np.uint64)
+            for s in (100, 1, 0, 7, 3000)]
+    sizes = np.array([s.size for s in sets])
+    concat = np.concatenate([s for s in sets if s.size])
+    got = simhash64_concat(concat, sizes)
+    ref = np.array([simhash64(s) for s in sets], dtype=np.uint64)
+    assert np.array_equal(got, ref)
+    assert got[2] == np.uint64(0)  # empty doc

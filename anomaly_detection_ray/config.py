@@ -142,8 +142,22 @@ class SuiteConfig:
         "uniqueness",
         "referential",
         "audio_decode",
+        "transcript_rate",
         "drift",
     )
+    #: transcript/audio consistency bounds: a transcript implausibly long
+    #: (or empty-ish) for the clip's dur_ms is flagged as a row violation
+    #: — chars-per-second outside [min, max].  400 cps sits well above any
+    #: plausible speech/caption rate; the synthetic corpus' natural
+    #: short-duration tail (~0.6% of rows) lands outside it by
+    #: construction (an 8 ms clip carrying a 9-word transcript IS the
+    #: inconsistency this check exists to catch).
+    transcript_min_cps: float = 1.0
+    transcript_max_cps: float = 400.0
+    #: partition verdict flips Unhealthy when the flagged-row fraction
+    #: exceeds this (rate, not any-violation: the check targets systemic
+    #: transcript/audio misalignment, not the lone dirty row)
+    transcript_rate_threshold: float = 0.01
     #: per-table constant-threshold overrides (reference:
     #: freshness_checker.py:63-65 per-table threshold overrides)
     null_rate_threshold: float = 0.005

@@ -153,7 +153,8 @@ def validate_clips(
         _ALL_STAT_COLS, PARTITION_COL, key_col="clip_id",
         num_buckets=key_buckets,
         with_keys=fused_with_keys, checks=cfg.checks,
-        custom_checks=custom_checks)
+        custom_checks=custom_checks,
+        cps_bounds=(cfg.transcript_min_cps, cfg.transcript_max_cps))
 
     # decode + partials as ONE map operator at the decode batch size:
     # chaining them as separate map_batches with a larger partial batch
@@ -283,6 +284,31 @@ def validate_clips(
                 pid, "audio_decode", st,
                 {"audio_decode": {"violations": str(nbad),
                                   "row_count": str(int(counts.get(pid, 0)))}}))
+        if len(bad):
+            violation_frames.append(bad)
+
+    # ---- transcript/audio rate consistency --------------------------------
+    if "transcript_rate" in cfg.checks:
+        bad = row_violations[row_violations["check"] == "transcript_rate"]
+        per_part_bad = (bad.groupby(PARTITION_COL).size()
+                        if len(bad) else pd.Series(dtype=int))
+        counts = stats_df[stats_df["column"] == "clip_id"].set_index(
+            PARTITION_COL)["count"]
+        for pid in partitions:
+            nbad = int(per_part_bad.get(pid, 0))
+            total = int(counts.get(pid, 0))
+            frac = nbad / total if total else 0.0
+            st = (HEALTHY if frac <= cfg.transcript_rate_threshold
+                  else UNHEALTHY)
+            verdict_rows.append(_verdict(
+                pid, "transcript_rate", st,
+                {"transcript_rate": {
+                    "violations": str(nbad),
+                    "row_count": str(total),
+                    "violation_rate": str(round(frac, 6)),
+                    "bounds_cps": f"[{cfg.transcript_min_cps}, "
+                                  f"{cfg.transcript_max_cps}]",
+                    "threshold": str(cfg.transcript_rate_threshold)}}))
         if len(bad):
             violation_frames.append(bad)
 

@@ -105,7 +105,8 @@ class SuitePartials:
     def __init__(self, stat_columns: Sequence[str], partition_col: str,
                  key_col: str = "clip_id", num_buckets: int = 32,
                  with_keys: bool = True, checks: Sequence[str] = (),
-                 custom_checks: Sequence = ()):
+                 custom_checks: Sequence = (),
+                 cps_bounds: tuple = (1.0, 400.0)):
         self.stat_columns = list(stat_columns)
         self.partition_col = partition_col
         self.key_col = key_col
@@ -113,6 +114,8 @@ class SuitePartials:
         self.with_keys = with_keys
         self.want_null = "null_rate" in checks
         self.want_audio = "audio_decode" in checks
+        self.want_rate = "transcript_rate" in checks
+        self.cps_bounds = cps_bounds
         #: Check plugin instances (checks.py §2.11): their row hooks run
         #: fused in this same pass, violations ride the same blobs
         self.custom_checks = list(custom_checks)
@@ -161,6 +164,28 @@ class SuitePartials:
                     detail = "; ".join(parts)
                 viols.append((r[self.key_col], r[self.partition_col],
                               "audio_decode", detail))
+        if self.want_rate:
+            # transcript/audio consistency: chars-per-second vs the dur_ms
+            # COLUMN (not decoded length — the check must also fire on
+            # rows whose payload failed to decode).  Null transcripts and
+            # non-positive durations are other checks' problems; they
+            # propagate as nulls and fill_null(False) drops them here.
+            lo, hi = self.cps_bounds
+            dur = pc.cast(batch["dur_ms"], pa.float64())
+            dur = pc.if_else(pc.greater(dur, 0.0), dur,
+                             pa.scalar(None, pa.float64()))
+            cps = pc.divide(
+                pc.multiply(pc.cast(pc.utf8_length(batch["transcript"]),
+                                    pa.float64()), 1000.0), dur)
+            bad = pc.fill_null(pc.or_(pc.greater(cps, hi), pc.less(cps, lo)),
+                               False)
+            if pc.any(bad).as_py():
+                sub = batch.filter(bad)
+                for cid, pid, c in zip(sub[self.key_col].to_pylist(),
+                                       sub[self.partition_col].to_pylist(),
+                                       cps.filter(bad).to_pylist()):
+                    viols.append((cid, pid, "transcript_rate",
+                                  f"{c:.1f} chars/sec outside [{lo}, {hi}]"))
         for chk in self.custom_checks:
             viols.extend(chk.row_violations(batch))
         if viols:

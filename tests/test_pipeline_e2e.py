@@ -41,6 +41,37 @@ class TestSuite:
         dup_ids = v[v["check"] == "uniqueness"]["clip_id"]
         assert dup_ids.is_unique
 
+    def test_transcript_rate_check(self, suite_result):
+        # the synthetic dur_ms tail (N(650,220) clipped at 8 ms) plants
+        # clips whose transcript is implausibly long for the duration —
+        # they must surface as transcript_rate violations with the cps
+        # value in the detail, while the ~0.6% natural rate stays under
+        # the 1% default threshold → every partition verdict Healthy
+        v = suite_result.violations
+        rate = v[v["check"] == "transcript_rate"]
+        assert len(rate) >= 1
+        assert rate["detail"].str.contains("chars/sec outside").all()
+        verd = suite_result.verdicts
+        mine = verd[verd["quality_check_type"] == "transcript_rate"]
+        assert len(mine) == 4  # one per partition
+        assert (mine["status"] == "Healthy").all()
+
+    def test_transcript_rate_threshold_flips(self):
+        # a zero threshold makes any flagged row flip its partition — the
+        # knob is live end-to-end, mirroring the per-table constant
+        # threshold overrides of the reference checkers
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2,
+                          transcript_rate_threshold=0.0)
+        res = validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+        mine = res.verdicts[
+            res.verdicts["quality_check_type"] == "transcript_rate"]
+        flagged_parts = set(
+            res.violations[res.violations["check"] == "transcript_rate"][
+                "partition_id"])
+        for _, r in mine.iterrows():
+            want = "Unhealthy" if r["partition_id"] in flagged_parts else "Healthy"
+            assert r["status"] == want, r["partition_id"]
+
     def test_key_bucket_observability(self, suite_result):
         """The key exchange reports per-bucket reducer cardinalities and
         SuiteConfig.key_num_buckets overrides the fan-out (VERDICT r2 #7)."""

@@ -151,6 +151,113 @@ def audio_fingerprint_pairs(
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def audio_similarity_search(
+    clips: ray.data.Dataset,
+    query_fps: dict,
+    *,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Query-by-example audio retrieval: for each query clip, the top-k
+    corpus clips ranked by Haitsma–Kalker sub-fingerprint overlap
+    (shared / min(set sizes)), rank-stable under total-order tie-breaks
+    (overlap desc, shared desc, match_id asc) like embedding_topk.
+
+    Same one-pass scale shape as embedding_topk (pipelines/vectors.py):
+    the query fingerprint sets broadcast ONCE via ``ray.put`` as one
+    fp-sorted (fp, query_idx) posting array; each corpus batch decodes,
+    searchsorts its concatenated fingerprints into the postings and
+    bincounts (clip, query) incidences — no per-(clip, query) Python
+    pair loop — then emits only its per-query top-k partial rows.  The
+    driver merge touches O(blocks × queries × k) rows; payload bytes die
+    in the scoring stage.
+
+    ``query_fps``: {query_id: sorted-unique uint64 fp array} (build via
+    ``gather_doc_features(..., _fp_of_payload)`` for corpus-resident
+    queries — a distributed semi-filtered scan, not a driver pull).
+    """
+    q_ids = sorted(query_fps)
+    n_q = len(q_ids)
+    empty = pd.DataFrame({"query_id": pd.Series(dtype=object),
+                          "rank": pd.Series(dtype="int64"),
+                          "match_id": pd.Series(dtype=object),
+                          "shared": pd.Series(dtype="int64"),
+                          "overlap": pd.Series(dtype="float64")})
+    if n_q == 0:
+        return empty
+    empty_part = pd.DataFrame({"query_id": pd.Series(dtype=object),
+                               "match_id": pd.Series(dtype=object),
+                               "shared": pd.Series(dtype="int64"),
+                               "overlap": pd.Series(dtype="float64")})
+    q_sizes = np.array([max(query_fps[q].size, 1) for q in q_ids], dtype=np.int64)
+    qa_fp = np.concatenate([np.asarray(query_fps[q], dtype=np.uint64)
+                            for q in q_ids])
+    qa_idx = np.repeat(np.arange(n_q, dtype=np.int64),
+                       [query_fps[q].size for q in q_ids])
+    order = np.argsort(qa_fp, kind="stable")
+    ref = ray.put((qa_fp[order], qa_idx[order], q_sizes, q_ids))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cache = score.__dict__
+        if "qa" not in cache:
+            cache["qa"] = ray.get(ref)
+        fp_sorted, idx_sorted, sizes, ids_q = cache["qa"]
+        fps, segs, fsizes, cids = [], [], [], []
+        for s, (cid, payload) in enumerate(zip(df["clip_id"], df["bytes"])):
+            f = _fp_of_payload(payload)
+            if f.size:
+                fps.append(f)
+                segs.append(np.full(f.size, len(cids), dtype=np.int64))
+                fsizes.append(f.size)
+                cids.append(cid)
+        if not cids:
+            return empty_part
+        allf = np.concatenate(fps)
+        seg = np.concatenate(segs)
+        lo = np.searchsorted(fp_sorted, allf, side="left")
+        hi = np.searchsorted(fp_sorted, allf, side="right")
+        spans = hi - lo
+        nz = np.flatnonzero(spans)
+        if nz.size == 0:
+            return empty_part
+        # expand the posting spans: positions lo[j]..hi[j] for each match
+        reps = spans[nz]
+        flat = np.repeat(lo[nz], reps) + (
+            np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps))
+        qidx = idx_sorted[flat]
+        cseg = np.repeat(seg[nz], reps)
+        counts = np.bincount(cseg * len(ids_q) + qidx,
+                             minlength=len(cids) * len(ids_q))
+        pair = np.flatnonzero(counts)
+        ci, qi = pair // len(ids_q), pair % len(ids_q)
+        fs = np.array(fsizes, dtype=np.int64)
+        shared = counts[pair]
+        out = pd.DataFrame({
+            "query_id": np.asarray(ids_q, dtype=object)[qi],
+            "match_id": np.asarray(cids, dtype=object)[ci],
+            "shared": shared.astype(np.int64),
+            "overlap": shared / np.minimum(fs[ci], sizes[qi]),
+        })
+        if exclude_self:
+            out = out[out["query_id"] != out["match_id"]]
+        # per-block top-k partial: the driver merge sees only these
+        out = out.sort_values(["query_id", "overlap", "shared", "match_id"],
+                              ascending=[True, False, False, True])
+        return out.groupby("query_id", as_index=False).head(k)
+
+    parts = (clips.select_columns(["clip_id", "bytes"])
+             .map_batches(score, batch_format="pandas", batch_size=None)
+             .to_pandas())
+    if parts.empty:
+        return empty
+    parts = parts.sort_values(["query_id", "overlap", "shared", "match_id"],
+                              ascending=[True, False, False, True])
+    top = parts.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    top["overlap"] = top["overlap"].round(4)
+    return top[["query_id", "rank", "match_id", "shared", "overlap"]]
+
+
 def _clips_dups_ds(sf_dir: str) -> ray.data.Dataset:
     from anomaly_detection_ray.pipelines.media import _sf_of
 
@@ -163,6 +270,24 @@ def audio_dup_pairs(sf_dir: str) -> pd.DataFrame:
     planted transcode duplicates (rows-only; the planted ground truth is
     pinned by tests/test_audio.py — decode is not SQL-expressible)."""
     return audio_fingerprint_pairs(_clips_dups_ds(sf_dir))
+
+
+def audio_search(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
+    """Query-by-example audio retrieval over the transcode-dup clips
+    table: queries are the base twins of the first ``n_queries`` planted
+    ``-xc`` transcodes (deterministic), so each query's top hit must be
+    its own transcode (rows-only — decode is not SQL-expressible; the
+    planted ground truth is pinned by tests/test_audio.py)."""
+    from anomaly_detection_ray.stages.dedup import gather_doc_features
+
+    ds = _clips_dups_ds(sf_dir)
+    xc = (ds.select_columns(["clip_id"])
+          .map_batches(lambda df: df[df["clip_id"].str.endswith("-xc")],
+                       batch_format="pandas")
+          .limit(n_queries).to_pandas())
+    q_ids = sorted(str(x)[: -len("-xc")] for x in xc["clip_id"])
+    fpm = gather_doc_features(ds, "clip_id", "bytes", set(q_ids), _fp_of_payload)
+    return audio_similarity_search(ds, fpm, k=k)
 
 
 def audio_dedup_clips(sf_dir: str) -> pd.DataFrame:

@@ -200,3 +200,50 @@ class TestAudioFingerprint:
         for _, b in planted - missed:
             assert b not in kept
         assert len(kept) < len(ids)
+
+
+class TestAudioSimilaritySearch:
+    def test_transcode_twin_ranks_first_on_rich_signals(self, ray_session):
+        """Query-by-example retrieval over a rich-signal corpus: white
+        noise yields many distinct sub-fingerprints per clip, so a
+        query's planted transcode must rank 1 with overlap far above any
+        unrelated clip (the sf tables' pure tones are too degenerate to
+        test RANKING — every stationary clip collapses to ~1 fp)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from anomaly_detection_ray.functions.audio import decode_wav, encode_wav
+        from anomaly_detection_ray.pipelines.audioops import (
+            _fp_of_payload,
+            audio_similarity_search,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(30):
+            sig = rng.normal(0, 0.3, size=8000).clip(-0.95, 0.95)
+            rows.append({"clip_id": f"n-{i:03d}",
+                         "bytes": encode_wav(sig, 8000, "pcm16")})
+        for i in range(3):  # transcode twins of the first three
+            sig, sr, _ = decode_wav(rows[i]["bytes"])
+            rows.append({"clip_id": f"n-{i:03d}-xc",
+                         "bytes": encode_wav(sig, sr, "ulaw")})
+        corpus = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+        q_fps = {r["clip_id"]: _fp_of_payload(r["bytes"]) for r in rows[:3]}
+        out = audio_similarity_search(corpus, q_fps, k=3)
+        for qid in q_fps:
+            mine = out[out["query_id"] == qid].sort_values("rank")
+            assert mine.iloc[0]["match_id"] == qid + "-xc", qid
+            assert mine.iloc[0]["overlap"] >= 0.6
+            if len(mine) > 1:  # unrelated noise shares almost nothing
+                assert mine.iloc[1]["overlap"] <= 0.3
+
+    def test_sf_query_entry_returns_twin_within_topk(self, ray_session):
+        from anomaly_detection_ray.pipelines.audioops import audio_search
+
+        out = audio_search("/root/testdata/sf0.001", k=5)
+        assert set(out.columns) == {"query_id", "rank", "match_id",
+                                    "shared", "overlap"}
+        for qid, grp in out.groupby("query_id"):
+            assert qid + "-xc" in set(grp["match_id"]), qid

@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": relational.exact_dedup_docs,
         # text ops
         "token_counts_by_lang": textops.token_counts_by_lang,
+        "top_tokens": textops.top_tokens,
         "doc_length_stats": textops.doc_length_stats,
         "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
         "embedding_pairs_exact": vectors.embedding_pairs_exact,
+        "label_centroids": vectors.label_centroids,
         # sketches / detectors / drift
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
@@ -599,6 +601,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
         """,
+        # corpus vocabulary heavy-hitters: literal single-space split with
+        # empties kept on BOTH sides (pipelines/textops.py:top_tokens);
+        # (n DESC, token ASC) is a total order so the top-20 cut is
+        # deterministic
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE text IS NOT NULL) t
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
         "doc_length_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -775,5 +787,17 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id
             ) <= 5
             ORDER BY query_id, score DESC, vec_id
+        """,
+        # per-(label, dim) embedding centroid — SUM(DOUBLE)/COUNT mirrors
+        # the Ray side's exact-fsum merge inside the 6-decimal grain;
+        # dim is 1-based from generate_subscripts on both sides
+        # (pipelines/vectors.py:label_centroids)
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   round(sum(CAST(e AS DOUBLE)) / count(*), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings) t
+            GROUP BY label, dim ORDER BY label, dim
         """,
     }

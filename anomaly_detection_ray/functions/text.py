@@ -189,11 +189,12 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def round_half_up6(x: float) -> float:
-    """Round to 6 decimals with HALF-AWAY-FROM-ZERO on non-negatives —
-    DuckDB's round() semantics.  Python/numpy round half-to-even, so a
-    dyadic score like 77/128 rounds to 0.601562 in Python but 0.601563 in
-    the SQL oracle; every score column that an oracle mirrors must use
-    this instead of round() or the value hash diverges on exact halves."""
+    """Round to 6 decimals with HALF-AWAY-FROM-ZERO — DuckDB's round()
+    semantics (symmetric: -0.6015625 → -0.601563).  Python/numpy round
+    half-to-even, so a dyadic score like 77/128 rounds to 0.601562 in
+    Python but 0.601563 in the SQL oracle; every score column that an
+    oracle mirrors must use this instead of round() or the value hash
+    diverges on exact halves."""
     import math
 
-    return math.floor(x * 1e6 + 0.5) / 1e6
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6

@@ -62,6 +62,31 @@ def doc_length_stats(sf_dir: str) -> pd.DataFrame:
     }).sort_values("lang").reset_index(drop=True)
 
 
+def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus vocabulary heavy-hitters: the top-k tokens by total count
+    (count desc, token asc — a total order, so the cut is deterministic).
+
+    Scale shape: per-block pandas explode+value_counts pre-aggregation →
+    ONE grouped_sums blob shuffle keyed by token (each token lives in
+    exactly one hash bucket, so a per-reducer local top-k would be EXACT;
+    at testdata vocabulary sizes the merged frame is small enough to
+    rank directly).  Tokenization is a literal single-space split with
+    empties kept, mirroring the oracle's string_split(text, ' ')."""
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df["text"].dropna().str.split(" ").explode().value_counts())
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    agg = grouped_sums(ds.map_batches(tok, batch_format="pandas"),
+                       ["token"], ["n"]).to_pandas()
+    out = pd.DataFrame({"token": agg["token"],
+                        "n": agg["n"].astype("int64")})
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Deterministic stratified sample: the ``k`` lowest doc_ids per lang,
     DuckDB-oracled (QUALIFY row_number per lang).

@@ -381,6 +381,43 @@ def knn_exact_label_counts(sf_dir: str, num_queries: int = 20, k: int = 10) -> p
     }).sort_values("query_id").reset_index(drop=True)
 
 
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-(label, dim) centroid of the embedding column — the vector
+    aggregation primitive behind class prototypes / IVF seeding /
+    nearest-centroid classification.
+
+    Scale shape: each block explodes its vectors to (label, dim, val)
+    rows pre-aggregated in pandas, then ONE grouped_sums blob shuffle
+    over labels × dims groups with ``exact_sums`` (math.fsum) — the
+    low-cardinality-key case that knob exists for, keeping the merge
+    independent of Ray's block layout and inside the oracle's 6-decimal
+    grain.  ``dim`` is 1-based to mirror generate_subscripts."""
+    from anomaly_detection_ray.functions.text import round_half_up6
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+    ds = sf_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        M = _batch_matrix(t)  # (n, d) float64 — exact float32 widening
+        n, d = M.shape
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(labels, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "val": M.ravel(),
+        })
+
+    agg = grouped_sums(ds.map_batches(explode, batch_format="pyarrow"),
+                       ["label", "dim"], ["val"], exact_sums=True).to_pandas()
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "dim": agg["dim"].astype("int64"),
+        "centroid": [round_half_up6(v / c)
+                     for v, c in zip(agg["val"], agg["__cnt__"])],
+    })
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def embedding_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     """Exact cosine-similarity pairs above ``threshold``, DuckDB-oracled —
     the brute-force correctness anchor for the LSH-bucketed

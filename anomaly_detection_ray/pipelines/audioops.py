@@ -185,10 +185,7 @@ def audio_similarity_search(
                           "overlap": pd.Series(dtype="float64")})
     if n_q == 0:
         return empty
-    empty_part = pd.DataFrame({"query_id": pd.Series(dtype=object),
-                               "match_id": pd.Series(dtype=object),
-                               "shared": pd.Series(dtype="int64"),
-                               "overlap": pd.Series(dtype="float64")})
+    empty_part = empty.drop(columns=["rank"])  # partial blocks carry no rank
     q_sizes = np.array([max(query_fps[q].size, 1) for q in q_ids], dtype=np.int64)
     qa_fp = np.concatenate([np.asarray(query_fps[q], dtype=np.uint64)
                             for q in q_ids])
@@ -261,7 +258,9 @@ def audio_similarity_search(
 def _clips_dups_ds(sf_dir: str) -> ray.data.Dataset:
     from anomaly_detection_ray.pipelines.media import _sf_of
 
-    n = max(int(60_000 * _sf_of(sf_dir)), 400)
+    # default 0.001 (not media's 0.01): unrecognized sf_dir names must
+    # keep the original 400-clip table, not silently grow it 1.5×
+    n = max(int(60_000 * _sf_of(sf_dir, default=0.001)), 400)
     return read_table(clips_dups_path(n), columns=["clip_id", "bytes"])
 
 

@@ -26,9 +26,9 @@ from anomaly_detection_ray.sources.synth import images_path, videos_path
 from anomaly_detection_ray.stages.media import image_stage, video_stage
 
 
-def _sf_of(sf_dir: str) -> float:
+def _sf_of(sf_dir: str, default: float = 0.01) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
-    return float(m.group(1)) if m else 0.01
+    return float(m.group(1)) if m else default
 
 
 def _n_items(sf_dir: str, per_sf: int = 200_000, floor: int = 400) -> int:

@@ -323,9 +323,11 @@ class FreqSketch(Sketch):
         set is the heavy hitters — matching ``add_many``'s value_counts
         admission order — with a deterministic tie rule on top.  The sort
         only matters when the batch can overflow the remaining capacity;
-        below that, admission order cannot change the retained set, so the
+        below that, admission order cannot change the retained SET, so the
         hot path (per-(partition, column) suite slices, usually ≪ cap)
-        skips the O(d log d) pass."""
+        skips the O(d log d) pass.  The dict ORDER is then value order,
+        which is fine because ``merge`` re-sorts heaviest-first whenever
+        a downstream merge could overflow."""
         pairs = list(zip(keys, counts))
         if len(pairs) > self.cap - len(self.counts):
             pairs = sorted(pairs, key=lambda kc: (-int(kc[1]), str(kc[0])))
@@ -342,7 +344,15 @@ class FreqSketch(Sketch):
             self.counts[self.OTHER] = self.counts.get(self.OTHER, 0) + c
 
     def merge(self, other: "FreqSketch") -> "FreqSketch":
-        for k, c in other.counts.items():
+        # heaviest-first admission when this merge could overflow: the
+        # heavy-hitter retention property chi-square drift consumes must
+        # hold HERE, independent of the incoming partial's dict order
+        # (add_counts skips its sort for under-cap slices, leaving
+        # np.unique value order)
+        items = other.counts.items()
+        if len(other.counts) > self.cap - len(self.counts):
+            items = sorted(items, key=lambda kc: (-kc[1], kc[0]))
+        for k, c in items:
             self._bump(k, c)
         self.total += other.total
         return self

@@ -256,3 +256,26 @@ def test_simhash_concat_matches_per_doc():
     ref = np.array([simhash64(s) for s in sets], dtype=np.uint64)
     assert np.array_equal(got, ref)
     assert got[2] == np.uint64(0)  # empty doc
+
+
+def test_freq_merge_overflow_retains_heavy_hitters():
+    """Partials built under cap keep np.unique value order in their dicts
+    (add_counts skips its sort); when merging pushes the target past cap,
+    merge() must still admit the incoming heavy hitters before dumping
+    light keys into __other__ — the only property chi-square drift
+    consumes (stages/fused.py combine_partial_rows)."""
+    import numpy as np
+
+    from anomaly_detection_ray.state.sketches import FreqSketch
+
+    a = FreqSketch(cap=10)
+    a.add_counts([f"a{i:02d}" for i in range(8)], [1] * 8)  # fills 8/10
+    b = FreqSketch(cap=10)
+    # under-cap slice: dict order is insertion (value) order, with the
+    # heavy key LAST — exactly the order the skipped sort leaves behind
+    b.add_counts([f"b{i:02d}" for i in range(5)] + ["zz_heavy"],
+                 [1] * 5 + [1000])
+    a.merge(b)
+    assert "zz_heavy" in a.counts, "heavy hitter dumped into __other__"
+    assert a.counts["zz_heavy"] == 1000
+    assert a.total == 8 + 5 + 1000

@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text ops
         "token_counts_by_lang": textops.token_counts_by_lang,
         "top_tokens": textops.top_tokens,
+        "benchmark_contamination": textops.benchmark_contamination,
         "doc_length_stats": textops.doc_length_stats,
         "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
@@ -600,6 +601,29 @@ def oracle_sql() -> dict[str, str]:
                        END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # decontamination: corpus docs sharing a word 8-gram with the
+        # benchmark set (top-20 doc_ids); literal single-space split and
+        # full grams only, mirroring pipelines/textops.py:
+        # benchmark_contamination (hashed grams ≡ gram strings at
+        # negligible collision mass)
+        "benchmark_contamination": """
+            WITH bench_ids AS (SELECT doc_id FROM documents
+                               ORDER BY doc_id DESC LIMIT 20),
+            tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+            idx AS (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM tok),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                      FROM idx),
+            bgrams AS (SELECT DISTINCT g FROM grams
+                       WHERE doc_id IN (SELECT doc_id FROM bench_ids))
+            SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+            FROM grams g
+            WHERE g.g IN (SELECT g FROM bgrams)
+              AND g.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         # corpus vocabulary heavy-hitters: literal single-space split with
         # empties kept on BOTH sides (pipelines/textops.py:top_tokens);

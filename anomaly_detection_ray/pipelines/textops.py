@@ -62,6 +62,81 @@ def doc_length_stats(sf_dir: str) -> pd.DataFrame:
     }).sort_values("lang").reset_index(drop=True)
 
 
+def _literal_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted-unique uint64 hashes of the LITERAL-split word n-grams of
+    one document (split on single space, full n-grams only — mirrors the
+    oracle's string_split + generate_series exactly; word_ngram_sets'
+    whitespace-regex + short-doc fallback would diverge)."""
+    from anomaly_detection_ray.functions.hashing import hash64
+
+    ws = (text or "").split(" ")
+    if len(ws) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.array([" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)],
+                     dtype=object)
+    return np.unique(hash64(grams))
+
+
+def benchmark_contamination(sf_dir: str, n_benchmark: int = 20,
+                            n: int = 8) -> pd.DataFrame:
+    """Decontamination primitive: flag corpus documents that share ≥1
+    word n-gram with a benchmark/eval set (they leak eval answers into
+    training and must be dropped).  Benchmark = the ``n_benchmark``
+    highest doc_ids, a deterministic stand-in for an eval suite.
+
+    Scale shape: the benchmark gram sets gather via the distributed
+    semi-filtered scan (gather_doc_features), union into ONE sorted
+    uint64 hash array broadcast via ``ray.put`` (an eval suite is tiny —
+    the canonical broadcast small side); one streaming corpus pass then
+    counts each doc's distinct-gram hits by searchsorted membership.  NO
+    shuffle at all.  Hashed grams stand in for gram strings with
+    negligible collision mass (same argument as ngram_jaccard_exact)."""
+    from anomaly_detection_ray.stages.dedup import gather_doc_features
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    top = (ds.select_columns(["doc_id"])
+           .map_batches(lambda df: df.nlargest(n_benchmark, "doc_id"),
+                        batch_format="pandas")
+           .to_pandas().nlargest(n_benchmark, "doc_id"))
+    bench_ids = set(int(x) for x in top["doc_id"])
+    fmap = gather_doc_features(ds, "doc_id", "text", bench_ids,
+                               lambda t: _literal_ngram_hashes(t, n))
+    sets = [g for g in fmap.values() if g.size]
+    bench = (np.unique(np.concatenate(sets)) if sets
+             else np.empty(0, dtype=np.uint64))
+    ref = ray.put((bench, frozenset(bench_ids)))
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_shared": pd.Series(dtype="int64")})
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        cache = scan.__dict__
+        if "b" not in cache:
+            cache["b"] = ray.get(ref)
+        bg, bids = cache["b"]
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            if int(did) in bids:
+                continue
+            g = _literal_ngram_hashes(t, n)
+            if not g.size or not bg.size:
+                continue
+            idx = np.searchsorted(bg, g)
+            idx[idx == bg.size] = 0  # out-of-range probes can't match
+            hits = int((bg[idx] == g).sum())
+            if hits:
+                rows.append((int(did), hits))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["doc_id", "n_shared"]).astype(
+            {"doc_id": "int64", "n_shared": "int64"})
+
+    out = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Corpus vocabulary heavy-hitters: the top-k tokens by total count
     (count desc, token asc — a total order, so the cut is deterministic).

@@ -318,3 +318,44 @@ class TestLanguageIdOracleAgreement:
 
         mine = pd.Series(detect_language(pd.Series(self.CASES))).value_counts()
         assert mine.sort_index().to_dict() == ora.sort_index().to_dict()
+
+
+class TestBenchmarkContamination:
+    def test_planted_overlap_found_no_false_positives(self, ray_session, tmp_path):
+        """A corpus doc that quotes 8 consecutive benchmark words is
+        contaminated; docs reusing the same vocabulary without an
+        8-run are not."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.textops import benchmark_contamination
+
+        bench_text = " ".join(f"b{i}" for i in range(30))
+        leak = "x y " + " ".join(f"b{i}" for i in range(10, 18)) + " z"
+        clean = " ".join(f"b{2 * i}" for i in range(20))  # vocab reuse, no run
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 900],
+            "text": [leak, clean, bench_text],
+        })
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        out = benchmark_contamination(str(tmp_path), n_benchmark=1, n=8)
+        assert out["doc_id"].tolist() == [1]
+        assert int(out["n_shared"].iloc[0]) == 1  # exactly one shared 8-gram
+
+    def test_short_docs_cannot_contaminate(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.textops import benchmark_contamination
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 900],
+            "text": ["b0 b1 b2", " ".join(f"b{i}" for i in range(30))],
+        })
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        out = benchmark_contamination(str(tmp_path), n_benchmark=1, n=8)
+        assert out.empty

@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_by_lang": textops.token_counts_by_lang,
         "top_tokens": textops.top_tokens,
         "benchmark_contamination": textops.benchmark_contamination,
+        "repetition_scores": textops.repetition_scores,
         "doc_length_stats": textops.doc_length_stats,
         "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
@@ -601,6 +602,22 @@ def oracle_sql() -> dict[str, str]:
                        END) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # Gopher-style within-doc repetition ratio: 1 − distinct/total
+        # word 3-grams (pipelines/textops.py:repetition_scores); docs
+        # with <3 words emit no row on either side
+        "repetition_scores": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+            idx AS (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM tok),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                      FROM idx)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6)
+                       AS dup_ratio
+            FROM grams GROUP BY doc_id ORDER BY doc_id
         """,
         # decontamination: corpus docs sharing a word 8-gram with the
         # benchmark set (top-20 doc_ids); literal single-space split and

@@ -35,7 +35,10 @@ class CheckContext:
 
     #: merged per-(partition, column) stats incl. sketch bytes (hll/tdigest/freq)
     stats: pd.DataFrame
-    #: merged row-violation table (clip_id, partition_id, check, detail)
+    #: merged row-violation EXAMPLES (clip_id, partition_id, check,
+    #: detail) — bounded per check (stages/fused.py
+    #: VIOL_EXAMPLES_MERGE_CAP); count from ``viol_counts``, never from
+    #: ``len(violations)``
     violations: pd.DataFrame
     #: sorted partition ids observed in this run
     partitions: list
@@ -43,6 +46,9 @@ class CheckContext:
     config: object
     #: baseline snapshot (same shape as ``stats``) or None
     baseline: Optional[pd.DataFrame] = None
+    #: EXACT (partition_id, check) → violation count, incl. rows beyond
+    #: the example cap
+    viol_counts: dict = field(default_factory=dict)
     _verdict_fn: object = field(default=None, repr=False)
 
     def verdict(self, partition_id: str, check: str, status: str,

@@ -158,6 +158,12 @@ class SuiteConfig:
     #: exceeds this (rate, not any-violation: the check targets systemic
     #: transcript/audio misalignment, not the lone dirty row)
     transcript_rate_threshold: float = 0.01
+    #: violation EXAMPLE rows shipped per check per decode batch —
+    #: per-(partition, check) COUNTS stay exact regardless (the
+    #: reference's first-N payload-cap pattern,
+    #: freshness_checker.py:47-49); bounds the violation table when a
+    #: table is systematically broken instead of OOMing the driver
+    viol_examples_per_block: int = 100
     #: per-table constant-threshold overrides (reference:
     #: freshness_checker.py:63-65 per-table threshold overrides)
     null_rate_threshold: float = 0.005

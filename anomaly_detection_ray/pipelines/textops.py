@@ -77,6 +77,49 @@ def _literal_ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(hash64(grams))
 
 
+def repetition_scores(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Within-document repetition ratio — the Gopher/MassiveText
+    boilerplate filter (Rae et al. 2021 §A1.1: fraction of duplicated
+    word n-grams): ``dup_ratio = 1 − distinct_grams / total_grams`` per
+    document.  Highly repetitive docs (templated boilerplate, scraper
+    loops) score high and get dropped before training.
+
+    Pure per-row map — no shuffle; gram hashing reuses the literal
+    single-space split so the DuckDB oracle (count vs count DISTINCT
+    over the same grams) matches exactly."""
+    from anomaly_detection_ray.functions.hashing import hash64
+    from anomaly_detection_ray.functions.text import round_half_up6
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_grams": pd.Series(dtype="int64"),
+                          "dup_ratio": pd.Series(dtype="float64")})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            ws = (t or "").split(" ")
+            if len(ws) < n:
+                continue  # no full n-grams → no row (oracle GROUP BY twin)
+            grams = np.array([" ".join(ws[i:i + n])
+                              for i in range(len(ws) - n + 1)], dtype=object)
+            h = hash64(grams)
+            total = h.size
+            distinct = np.unique(h).size
+            rows.append((int(did), total,
+                         round_half_up6(1.0 - distinct / total)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["doc_id", "n_grams", "dup_ratio"]
+                            ).astype({"doc_id": "int64", "n_grams": "int64"})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def benchmark_contamination(sf_dir: str, n_benchmark: int = 20,
                             n: int = 8) -> pd.DataFrame:
     """Decontamination primitive: flag corpus documents that share ≥1

@@ -154,7 +154,8 @@ def validate_clips(
         num_buckets=key_buckets,
         with_keys=fused_with_keys, checks=cfg.checks,
         custom_checks=custom_checks,
-        cps_bounds=(cfg.transcript_min_cps, cfg.transcript_max_cps))
+        cps_bounds=(cfg.transcript_min_cps, cfg.transcript_max_cps),
+        viol_examples_per_block=cfg.viol_examples_per_block)
 
     # decode + partials as ONE map operator at the decode batch size:
     # chaining them as separate map_batches with a larger partial batch
@@ -197,8 +198,14 @@ def validate_clips(
         observe["partials_rows"] = int(partials.count())
         observe["partials_bytes"] = int(partials.size_bytes() or 0)
 
-    stats_df, suspect_keys, row_violations, key_bucket_distincts = \
+    stats_df, suspect_keys, row_violations, key_bucket_distincts, viol_counts = \
         collect_suite_partials(partials, with_keys=with_keys, with_ref=need_ref)
+
+    def check_count(pid, check: str) -> int:
+        """EXACT per-(partition, check) violation count — row_violations
+        holds bounded examples only (VIOL_EXAMPLES_MERGE_CAP), so rules
+        must never count its rows."""
+        return int(viol_counts.get((pid, check), 0))
 
     if stats_df.empty:
         # fully-resumed run: every partition already checkpointed
@@ -275,10 +282,9 @@ def validate_clips(
     # ---- audio decode / consistency --------------------------------------
     if "audio_decode" in cfg.checks:
         bad = row_violations[row_violations["check"] == "audio_decode"]
-        per_part_bad = bad.groupby(PARTITION_COL).size() if len(bad) else pd.Series(dtype=int)
         counts = stats_df[stats_df["column"] == "clip_id"].set_index(PARTITION_COL)["count"]
         for pid in partitions:
-            nbad = int(per_part_bad.get(pid, 0))
+            nbad = check_count(pid, "audio_decode")
             st = HEALTHY if nbad == 0 else UNHEALTHY
             verdict_rows.append(_verdict(
                 pid, "audio_decode", st,
@@ -290,12 +296,10 @@ def validate_clips(
     # ---- transcript/audio rate consistency --------------------------------
     if "transcript_rate" in cfg.checks:
         bad = row_violations[row_violations["check"] == "transcript_rate"]
-        per_part_bad = (bad.groupby(PARTITION_COL).size()
-                        if len(bad) else pd.Series(dtype=int))
         counts = stats_df[stats_df["column"] == "clip_id"].set_index(
             PARTITION_COL)["count"]
         for pid in partitions:
-            nbad = int(per_part_bad.get(pid, 0))
+            nbad = check_count(pid, "transcript_rate")
             total = int(counts.get(pid, 0))
             frac = nbad / total if total else 0.0
             st = (HEALTHY if frac <= cfg.transcript_rate_threshold
@@ -381,7 +385,8 @@ def validate_clips(
     if custom_checks:
         ctx = CheckContext(stats=stats_df, violations=row_violations,
                            partitions=partitions, config=cfg,
-                           baseline=baseline_stats, _verdict_fn=_verdict)
+                           baseline=baseline_stats, viol_counts=viol_counts,
+                           _verdict_fn=_verdict)
         for chk in custom_checks:
             try:
                 verdict_rows.extend(chk.verdicts(ctx))

@@ -106,7 +106,8 @@ class SuitePartials:
                  key_col: str = "clip_id", num_buckets: int = 32,
                  with_keys: bool = True, checks: Sequence[str] = (),
                  custom_checks: Sequence = (),
-                 cps_bounds: tuple = (1.0, 400.0)):
+                 cps_bounds: tuple = (1.0, 400.0),
+                 viol_examples_per_block: int = 100):
         self.stat_columns = list(stat_columns)
         self.partition_col = partition_col
         self.key_col = key_col
@@ -116,6 +117,7 @@ class SuitePartials:
         self.want_audio = "audio_decode" in checks
         self.want_rate = "transcript_rate" in checks
         self.cps_bounds = cps_bounds
+        self.viol_examples_per_block = viol_examples_per_block
         #: Check plugin instances (checks.py §2.11): their row hooks run
         #: fused in this same pass, violations ride the same blobs
         self.custom_checks = list(custom_checks)
@@ -139,31 +141,53 @@ class SuitePartials:
         if self.with_keys:
             rows.extend(_key_count_rows(batch[self.key_col], 0, self.num_buckets))
         # ---- violation rows ----------------------------------------------
+        # VIOLATION-STORM BOUNDING: a systematically-broken table (every
+        # row failing a check) must not materialize one detail row per
+        # bad input row — at corpus scale that OOMs the reducer/driver
+        # and the per-row Python string building dominates the pass.
+        # Each check therefore ships EXACT per-(partition, check) counts
+        # (what the verdict rules consume) plus at most
+        # ``viol_examples_per_block`` example rows (the reference's
+        # first-N payload-cap pattern, freshness_checker.py:47-49).
         viols: list[tuple] = []
+        vcounts: dict[tuple, int] = {}
+        cap = self.viol_examples_per_block
+
+        def register(pids, check: str) -> None:
+            import pandas as pd
+
+            for p, c in pd.Series(list(pids)).value_counts().items():
+                vcounts[(p, check)] = vcounts.get((p, check), 0) + int(c)
+
         if self.want_null:
             nulls = batch.filter(pc.is_null(batch["transcript"]))
-            for cid, pid in zip(nulls[self.key_col].to_pylist(),
-                                nulls[self.partition_col].to_pylist()):
-                viols.append((cid, pid, "null_rate", "transcript is null"))
+            if nulls.num_rows:
+                register(nulls[self.partition_col].to_pylist(), "null_rate")
+                head = nulls.slice(0, cap)
+                for cid, pid in zip(head[self.key_col].to_pylist(),
+                                    head[self.partition_col].to_pylist()):
+                    viols.append((cid, pid, "null_rate", "transcript is null"))
         if self.want_audio:
             ok = pc.and_(pc.and_(batch["decode_ok"], batch["sr_match"]),
                          pc.and_(batch["codec_match"], batch["dur_match"]))
             bad = batch.filter(pc.invert(ok))
-            for r in bad.to_pylist():
-                if not r["decode_ok"]:
-                    detail = f"decode failed: {r['decode_error']}"
-                else:
-                    parts = []
-                    if not r["sr_match"]:
-                        parts.append("sr_hz mismatch")
-                    if not r["codec_match"]:
-                        parts.append("codec mismatch")
-                    if not r["dur_match"]:
-                        parts.append(
-                            f"dur_ms {r['dur_ms']} vs decoded {r['decoded_ms']}")
-                    detail = "; ".join(parts)
-                viols.append((r[self.key_col], r[self.partition_col],
-                              "audio_decode", detail))
+            if bad.num_rows:
+                register(bad[self.partition_col].to_pylist(), "audio_decode")
+                for r in bad.slice(0, cap).to_pylist():
+                    if not r["decode_ok"]:
+                        detail = f"decode failed: {r['decode_error']}"
+                    else:
+                        parts = []
+                        if not r["sr_match"]:
+                            parts.append("sr_hz mismatch")
+                        if not r["codec_match"]:
+                            parts.append("codec mismatch")
+                        if not r["dur_match"]:
+                            parts.append(
+                                f"dur_ms {r['dur_ms']} vs decoded {r['decoded_ms']}")
+                        detail = "; ".join(parts)
+                    viols.append((r[self.key_col], r[self.partition_col],
+                                  "audio_decode", detail))
         if self.want_rate:
             # transcript/audio consistency: chars-per-second vs the dur_ms
             # COLUMN (not decoded length — the check must also fire on
@@ -181,15 +205,22 @@ class SuitePartials:
                                False)
             if pc.any(bad).as_py():
                 sub = batch.filter(bad)
-                for cid, pid, c in zip(sub[self.key_col].to_pylist(),
-                                       sub[self.partition_col].to_pylist(),
-                                       cps.filter(bad).to_pylist()):
+                register(sub[self.partition_col].to_pylist(), "transcript_rate")
+                head = sub.slice(0, cap)
+                cps_head = cps.filter(bad).slice(0, cap)
+                for cid, pid, c in zip(head[self.key_col].to_pylist(),
+                                       head[self.partition_col].to_pylist(),
+                                       cps_head.to_pylist()):
                     viols.append((cid, pid, "transcript_rate",
                                   f"{c:.1f} chars/sec outside [{lo}, {hi}]"))
         for chk in self.custom_checks:
-            viols.extend(chk.row_violations(batch))
-        if viols:
-            rows.append((KIND_VIOL, "", "", 0, pickle.dumps(viols)))
+            rows_chk = chk.row_violations(batch)
+            if rows_chk:
+                for _, pid, name, _d in rows_chk:
+                    vcounts[(pid, name)] = vcounts.get((pid, name), 0) + 1
+                viols.extend(rows_chk[:cap])
+        if viols or vcounts:
+            rows.append((KIND_VIOL, "", "", 0, pickle.dumps((viols, vcounts))))
         return _rows_table(rows)
 
     def _stats_rows(self, batch: pa.Table) -> list[tuple]:
@@ -289,9 +320,10 @@ def combine_partial_rows(batch: pa.Table) -> pa.Table:
     (10k): past the cap, which keys land in ``__other__`` depends on
     arrival order, so for key-like columns (e.g. clip_id at bench scale)
     the freq bytes vary with the combiner's batch layout — heaviest-first
-    admission (sketches.py add_counts) keeps the retained set the heavy
-    hitters either way, which is the only property chi-square drift
-    consumes.  Per-bundle
+    admission at overflow (enforced in ``FreqSketch.merge`` for every
+    merge that could exceed the cap, and in ``add_counts`` for oversized
+    slices) keeps the retained set the heavy hitters either way, which is
+    the only property chi-square drift consumes.  Per-bundle
     float sums are carried as LISTS (``sums``/``sumsqs``) so the final
     reducer's ``math.fsum`` still sees every original bundle term and the
     merged stats stay bit-identical for every block layout.  t-digest
@@ -353,11 +385,35 @@ def combine_partial_rows(batch: pa.Table) -> pa.Table:
 
     viol = df[df["kind"] == KIND_VIOL]
     if len(viol):
-        out: list[tuple] = []
-        for b in viol["payload"]:
-            out.extend(pickle.loads(b))
-        rows.append((KIND_VIOL, "", "", 0, pickle.dumps(out)))
+        rows.append((KIND_VIOL, "", "", 0,
+                     pickle.dumps(_merge_viol_payloads(viol["payload"]))))
     return _rows_table(rows)
+
+
+#: merged violation EXAMPLES are bounded per check (counts stay exact) —
+#: a 100%-failing table must not swamp the reducer/driver with one row
+#: per bad input
+VIOL_EXAMPLES_MERGE_CAP = 1000
+
+
+def _merge_viol_payloads(payloads, cap_per_check: int = VIOL_EXAMPLES_MERGE_CAP):
+    """Merge pickled (examples, counts) violation payloads: per-(partition,
+    check) counts sum EXACTLY; example rows keep at most ``cap_per_check``
+    per check (first-seen order)."""
+    kept: list[tuple] = []
+    per_check: dict[str, int] = {}
+    counts: dict[tuple, int] = {}
+    for b in payloads:
+        ex, vc = pickle.loads(b)
+        for k, c in vc.items():
+            counts[k] = counts.get(k, 0) + c
+        for v in ex:
+            name = v[2]
+            s = per_check.get(name, 0)
+            if s < cap_per_check:
+                kept.append(v)
+                per_check[name] = s + 1
+    return kept, counts
 
 
 def side_key_partials(key_col: str, side: int, num_buckets: int):
@@ -480,11 +536,15 @@ def collect_suite_partials(
     *,
     with_keys: bool = True,
     with_ref: bool = True,
-) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, list[int]]:
-    """(stats_df, suspect_keys_df, violations_df, key_bucket_distincts)
-    from a partials dataset.  The 4th element lists each key bucket's
-    reducer-dict cardinality (empty when ``with_keys`` is off) — runs emit
-    its max/total to metrics.json so fat buckets are visible.
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, list[int], dict]:
+    """(stats_df, suspect_keys_df, violations_df, key_bucket_distincts,
+    viol_counts) from a partials dataset.  The 4th element lists each key
+    bucket's reducer-dict cardinality (empty when ``with_keys`` is off) —
+    runs emit its max/total to metrics.json so fat buckets are visible.
+    The 5th maps (partition_id, check) → EXACT violation count; the
+    violations_df holds bounded EXAMPLE rows (VIOL_EXAMPLES_MERGE_CAP per
+    check), so verdict rules must count from viol_counts, never from
+    ``len(violations_df)``.
 
     ``partials`` should be materialized by the caller (it is tiny); each
     merge below is then a sub-second execution over O(bundles) rows.
@@ -492,7 +552,7 @@ def collect_suite_partials(
     empty_keys = pd.DataFrame({"key": [], "n_left": [], "n_right": []})
     empty_viol = pd.DataFrame(columns=["clip_id", "partition_id", "check", "detail"])
     if partials.count() == 0:  # fully-resumed run: nothing flowed through
-        return pd.DataFrame(), empty_keys, empty_viol, []
+        return pd.DataFrame(), empty_keys, empty_viol, [], {}
 
     # ONE execution for every merge: the group key (kind, partition_id,
     # column, bucket) is disjoint across kinds, and a dispatcher merge
@@ -507,11 +567,8 @@ def collect_suite_partials(
             blob = pickle.dumps(_merge_stats_dict(g))
         elif kind == KIND_KEYS:
             blob = pickle.dumps(key_merge(g))
-        else:  # KIND_VIOL: concatenate the per-bundle violation lists
-            out: list[tuple] = []
-            for b in g["payload"]:
-                out.extend(pickle.loads(b))
-            blob = pickle.dumps(out)
+        else:  # KIND_VIOL: merge (capped examples, exact counts)
+            blob = pickle.dumps(_merge_viol_payloads(g["payload"]))
         return pd.DataFrame([{"kind": kind, "result": blob}])
 
     merged = (
@@ -530,8 +587,12 @@ def collect_suite_partials(
     else:
         keys_df = empty_keys
     viols: list[tuple] = []
+    viol_counts: dict[tuple, int] = {}
     for b in merged.loc[merged["kind"] == KIND_VIOL, "result"]:
-        viols.extend(pickle.loads(b))
+        ex, vc = pickle.loads(b)
+        viols.extend(ex)
+        for k, c in vc.items():
+            viol_counts[k] = viol_counts.get(k, 0) + c
     violations_df = pd.DataFrame(
         viols, columns=["clip_id", "partition_id", "check", "detail"])
-    return stats_df, keys_df, violations_df, bucket_distincts
+    return stats_df, keys_df, violations_df, bucket_distincts, viol_counts

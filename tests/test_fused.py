@@ -131,16 +131,28 @@ class TestMerges:
         assert "c" not in by_key.index              # healthy key dies in reducer
 
     def test_violation_blobs_match_direct_scan(self, facts, partials_table):
+        # payloads are (capped example rows, EXACT per-(pid, check)
+        # counts); the counts — what verdict rules consume — must match
+        # a direct scan even when examples are capped
         pdf = partials_table.to_pandas()
-        viols = []
+        viols, counts = [], {}
         for b in pdf.loc[pdf["kind"] == KIND_VIOL, "payload"]:
-            viols.extend(pickle.loads(b))
+            ex, vc = pickle.loads(b)
+            viols.extend(ex)
+            for k, c in vc.items():
+                counts[k] = counts.get(k, 0) + c
         vdf = pd.DataFrame(viols, columns=["clip_id", "pid", "check", "detail"])
         fdf = facts.to_pandas()
         n_null = int(fdf["transcript"].isna().sum())
         bad = ~(fdf["decode_ok"] & fdf["sr_match"] & fdf["codec_match"] & fdf["dur_match"])
-        assert (vdf["check"] == "null_rate").sum() == n_null
-        assert (vdf["check"] == "audio_decode").sum() == int(bad.sum())
+        by_check = {}
+        for (pid, check), c in counts.items():
+            by_check[check] = by_check.get(check, 0) + c
+        assert by_check.get("null_rate", 0) == n_null
+        assert by_check.get("audio_decode", 0) == int(bad.sum())
+        # examples are a (possibly capped) subset consistent with counts
+        assert (vdf["check"] == "null_rate").sum() <= n_null
+        assert (vdf["check"] == "audio_decode").sum() <= int(bad.sum())
 
 
 class TestSideKeyPartials:
@@ -205,10 +217,47 @@ class TestCombinePartialRows:
         raw_keys = sorted(raw[raw["kind"] == KIND_KEYS]["payload"])
         comb_keys = sorted(comb[comb["kind"] == KIND_KEYS]["payload"])
         assert raw_keys == comb_keys
-        # violation tuples: same multiset after concatenation
+        # violation payloads: example multiset and exact counts both
+        # survive combining unchanged (caps don't bite at fixture scale)
         def viols(df):
-            out = []
+            out, counts = [], {}
             for b in df[df["kind"] == KIND_VIOL]["payload"]:
-                out.extend(pickle.loads(b))
-            return sorted(out)
+                ex, vc = pickle.loads(b)
+                out.extend(ex)
+                for k, c in vc.items():
+                    counts[k] = counts.get(k, 0) + c
+            return sorted(out), counts
         assert viols(raw) == viols(comb)
+
+
+class TestViolationStormBounding:
+    def test_storm_caps_examples_keeps_exact_counts(self, facts):
+        """A systematically-broken table (every row failing
+        transcript_rate) must ship bounded example rows but exact
+        counts — the driver-side violation table cannot grow with the
+        corpus."""
+        sp = SuitePartials(_ALL_STAT_COLS, PARTITION_COL, num_buckets=8,
+                           with_keys=False,
+                           checks=("transcript_rate",),
+                           cps_bounds=(1e9, 1e9 + 1),  # everything violates
+                           viol_examples_per_block=10)
+        out = sp(facts).to_pandas()
+        ex, vc = pickle.loads(
+            out.loc[out["kind"] == KIND_VIOL, "payload"].iloc[0])
+        n_eligible = int(pa.compute.sum(
+            pa.compute.and_(pa.compute.is_valid(facts["transcript"]),
+                            pa.compute.greater(facts["dur_ms"], 0))).as_py())
+        assert len(ex) == 10  # capped
+        assert sum(vc.values()) == n_eligible  # exact despite the cap
+        assert all(k[1] == "transcript_rate" for k in vc)
+
+    def test_merge_cap_bounds_reducer_examples(self):
+        from anomaly_detection_ray.stages.fused import _merge_viol_payloads
+
+        payloads = [pickle.dumps(
+            ([(f"c{i}-{j}", "p0", "transcript_rate", "d")] * 400,
+             {("p0", "transcript_rate"): 400}))
+            for i, j in [(i, 0) for i in range(5)]]
+        ex, vc = _merge_viol_payloads(payloads, cap_per_check=1000)
+        assert len(ex) == 1000
+        assert vc[("p0", "transcript_rate")] == 2000

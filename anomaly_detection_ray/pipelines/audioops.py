@@ -41,69 +41,6 @@ def _fp_of_payload(payload) -> np.ndarray:
     return hk_subfingerprints(sig, sr)
 
 
-def _pairs_from_postings(fps: np.ndarray, clips: np.ndarray,
-                         cap: int) -> tuple:
-    """Vectorized candidate-pair generation over one inverted-index
-    bucket: (a, b, shared) counts of clips co-listed under a fingerprint,
-    plus the hot-fp chained-slot count.
-
-    Semantics are identical to the per-fp Python loop this replaced
-    (sorted distinct posting list per fp; all pairs when the list is
-    ≤ ``cap``, else the 2-hop chain (i,i+1)+(i,i+2) — see
-    ``audio_fingerprint_pairs`` for why chaining beats truncation), but
-    everything runs as C-level kernels: one (fp, clip) sort defines the
-    runs, cold runs batch by length through one ``np.triu_indices``
-    expansion per distinct length, hot runs pair through shifted
-    same-run masks, and the per-pair counts come from one pandas
-    groupby-size.  The per-fp ``DataFrame.groupby`` iteration was
-    ~9 s per bucket at 120k postings — the audio-dedup ceiling —
-    this is ~100× less Python."""
-    empty = pd.DataFrame({"a": pd.Series(dtype=object),
-                          "b": pd.Series(dtype=object),
-                          "shared": pd.Series(dtype="int64")})
-    if fps.size == 0:
-        return empty, 0
-    df = pd.DataFrame({"fp": fps, "clip": clips}).drop_duplicates()
-    df = df.sort_values(["fp", "clip"], kind="stable")
-    f = df["fp"].to_numpy()
-    cl = df["clip"].to_numpy()
-    n = len(df)
-    new_run = np.empty(n, dtype=bool)
-    new_run[0] = True
-    np.not_equal(f[1:], f[:-1], out=new_run[1:])
-    run_id = np.cumsum(new_run) - 1
-    run_starts = np.flatnonzero(new_run)
-    run_lens = np.diff(np.append(run_starts, n))
-    lens_per_row = run_lens[run_id]
-    a_parts: list = []
-    b_parts: list = []
-    cold = (run_lens >= 2) & (run_lens <= cap)
-    for L in np.unique(run_lens[cold]):
-        starts = run_starts[cold & (run_lens == L)]
-        M = cl[starts[:, None] + np.arange(int(L))[None, :]]
-        iu, ju = np.triu_indices(int(L), k=1)
-        a_parts.append(M[:, iu].ravel())
-        b_parts.append(M[:, ju].ravel())
-    hot = lens_per_row > cap
-    chained = int(hot.sum())
-    if chained:
-        same1 = (run_id[:-1] == run_id[1:]) & hot[:-1]
-        a_parts.append(cl[:-1][same1])
-        b_parts.append(cl[1:][same1])
-        if n >= 3:
-            same2 = (run_id[:-2] == run_id[2:]) & hot[:-2]
-            a_parts.append(cl[:-2][same2])
-            b_parts.append(cl[2:][same2])
-    if not a_parts:
-        return empty, chained
-    pairs = pd.DataFrame({"a": np.concatenate(a_parts),
-                          "b": np.concatenate(b_parts)})
-    out = pairs.groupby(["a", "b"], as_index=False).size().rename(
-        columns={"size": "shared"})
-    out["shared"] = out["shared"].astype(np.int64)
-    return out, chained
-
-
 def audio_fingerprint_pairs(
     clips: ray.data.Dataset,
     *,
@@ -142,11 +79,13 @@ def audio_fingerprint_pairs(
         return blob_rows_frame(rows)
 
     def shared_counts(g: pd.DataFrame) -> pd.DataFrame:
+        from anomaly_detection_ray.stages.dedup import postings_pairs
+
         parts = [pickle.loads(x) for x in g["blob"]]
-        out, chained = _pairs_from_postings(
+        out, chained = postings_pairs(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
-            max_clips_per_fp)
+            cap=max_clips_per_fp, overflow="chain")
         if chained:
             import logging
 

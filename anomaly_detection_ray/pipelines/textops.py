@@ -435,20 +435,13 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
         return blob_rows_frame(rows)
 
     def shared_counts(g: pd.DataFrame) -> pd.DataFrame:
-        parts = [pickle.loads(x) for x in g["blob"]]
-        sub = pd.DataFrame({"fp": np.concatenate([p[0] for p in parts]),
-                            "doc": np.concatenate([p[1] for p in parts])})
-        from collections import Counter
+        from anomaly_detection_ray.stages.dedup import postings_pairs
 
-        c: Counter = Counter()
-        dropped = 0
-        for _, grp in sub.groupby("fp"):
-            docs = sorted(grp["doc"].unique().tolist())
-            dropped += max(len(docs) - max_docs_per_fp, 0)
-            docs = docs[:max_docs_per_fp]
-            for i, a in enumerate(docs):
-                for b in docs[i + 1:]:
-                    c[(a, b)] += 1
+        parts = [pickle.loads(x) for x in g["blob"]]
+        out, dropped = postings_pairs(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            cap=max_docs_per_fp, overflow="truncate")
         if dropped:  # no silent caps: surface truncated fingerprint mass
             import logging
 
@@ -456,11 +449,7 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
                 "winnow fingerprint cap (%d) dropped %d doc slots from hot "
                 "fingerprints — shared counts are floors for those",
                 max_docs_per_fp, dropped)
-        if not c:
-            return pd.DataFrame({"a": [], "b": [], "shared": []})
-        ks = list(c)
-        return pd.DataFrame({"a": [k[0] for k in ks], "b": [k[1] for k in ks],
-                             "shared": [c[k] for k in ks]})
+        return out
 
     per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
                   .groupby("bucket").map_groups(shared_counts, batch_format="pandas")

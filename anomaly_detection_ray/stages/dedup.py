@@ -207,6 +207,87 @@ def score_pairs(cand: pd.DataFrame, fmap: dict, score_fn,
             .map_batches(score, batch_format="pandas").to_pandas())
 
 
+def postings_pairs(keys: np.ndarray, ids: np.ndarray, *, cap: int,
+                   overflow: str = "truncate") -> tuple:
+    """Vectorized candidate-pair generation over one inverted-index
+    bucket: (a, b, shared) with shared = number of keys co-listing the
+    pair, plus an overflow tally.
+
+    Replaces the per-key ``DataFrame.groupby`` iteration every dedup
+    family's reducer used (~9 s per 120k-posting bucket — the family's
+    CPU ceiling): one (key, id) sort defines posting runs, runs within
+    ``cap`` batch by length through one ``np.triu_indices`` expansion
+    per distinct length, and per-pair counts come from one pandas
+    groupby-size.  Oversized (hot-key) runs follow ``overflow``:
+
+    - ``"truncate"``: keep the first ``cap`` sorted ids (recall loss;
+      callers must LOG the returned dropped-slot count — the no-silent-
+      caps rule), overflow tally = dropped id slots;
+    - ``"chain"``: emit the 2-hop chain (i,i+1)+(i,i+2) over the full
+      sorted run — O(n) candidates with every id still reachable for a
+      union-find collapse (see pipelines/audioops.py for the tradeoff),
+      overflow tally = chained id slots.
+
+    Semantics (including tie order from sorted distinct posting lists)
+    are loop-identical; equivalence is property-tested against the
+    reference loop in tests/test_stages.py."""
+    assert overflow in ("truncate", "chain")
+    empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                          "b": pd.Series(dtype=object),
+                          "shared": pd.Series(dtype="int64")})
+    if len(keys) == 0:
+        return empty, 0
+    df = pd.DataFrame({"k": keys, "id": ids}).drop_duplicates()
+    df = df.sort_values(["k", "id"], kind="stable")
+    kk = df["k"].to_numpy()
+    ii = df["id"].to_numpy()
+    n = len(df)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(kk[1:], kk[:-1], out=new_run[1:])
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, n))
+    a_parts: list = []
+    b_parts: list = []
+    if overflow == "truncate":
+        overflow_units = int(np.maximum(run_lens - cap, 0).sum())
+        eff = np.minimum(run_lens, cap)
+        for L in np.unique(eff[eff >= 2]):
+            starts = run_starts[eff == L]
+            M = ii[starts[:, None] + np.arange(int(L))[None, :]]
+            iu, ju = np.triu_indices(int(L), k=1)
+            a_parts.append(M[:, iu].ravel())
+            b_parts.append(M[:, ju].ravel())
+    else:  # chain
+        lens_per_row = run_lens[run_id]
+        cold = (run_lens >= 2) & (run_lens <= cap)
+        for L in np.unique(run_lens[cold]):
+            starts = run_starts[cold & (run_lens == L)]
+            M = ii[starts[:, None] + np.arange(int(L))[None, :]]
+            iu, ju = np.triu_indices(int(L), k=1)
+            a_parts.append(M[:, iu].ravel())
+            b_parts.append(M[:, ju].ravel())
+        hot = lens_per_row > cap
+        overflow_units = int(hot.sum())
+        if overflow_units:
+            same1 = (run_id[:-1] == run_id[1:]) & hot[:-1]
+            a_parts.append(ii[:-1][same1])
+            b_parts.append(ii[1:][same1])
+            if n >= 3:
+                same2 = (run_id[:-2] == run_id[2:]) & hot[:-2]
+                a_parts.append(ii[:-2][same2])
+                b_parts.append(ii[2:][same2])
+    if not a_parts:
+        return empty, overflow_units
+    pairs = pd.DataFrame({"a": np.concatenate(a_parts),
+                          "b": np.concatenate(b_parts)})
+    out = pairs.groupby(["a", "b"], as_index=False).size().rename(
+        columns={"size": "shared"})
+    out["shared"] = out["shared"].astype(np.int64)
+    return out, overflow_units
+
+
 def estimate_pairs_from_signatures(cand: pd.DataFrame, sig_map: dict,
                                    out_col: str = "est_jaccard") -> pd.DataFrame:
     """Vectorized signature-agreement estimate for every candidate pair.
@@ -335,22 +416,15 @@ def minhash_candidate_pairs(
         import logging
 
         parts = [pickle.loads(x) for x in g["blob"]]
-        sub = pd.DataFrame({
-            "bh": np.concatenate([p[0] for p in parts]),
-            "doc_id": np.concatenate([p[1] for p in parts]),
-        })
-        out = []
-        dropped = 0
-        for _, grp in sub.groupby("bh"):
-            ids = sorted(grp["doc_id"].unique().tolist())
-            dropped += max(len(ids) - max_bucket, 0)
-            ids = ids[:max_bucket]
-            out.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+        out, dropped = postings_pairs(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            cap=max_bucket, overflow="truncate")
         if dropped:  # no silent caps: surface truncated candidate mass
             logging.getLogger(__name__).warning(
                 "minhash LSH bucket cap (%d) dropped %d docs from oversized "
                 "buckets — near-dup recall is reduced for those", max_bucket, dropped)
-        return pd.DataFrame(out, columns=["a", "b"])
+        return out[["a", "b"]]
 
     allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("k").map_groups(pairs, batch_format="pandas").to_pandas())

@@ -466,3 +466,54 @@ class TestReadTableFormats:
         got = read_table(str(d / "t.csv"), columns=["b"],
                          filter=pads.field("a") == 3).to_pandas()
         assert list(got.columns) == ["b"] and list(got["b"]) == ["z"]
+
+
+class TestPostingsPairs:
+    """postings_pairs (stages/dedup.py): the vectorized inverted-index
+    pair kernel must be loop-identical to the per-key reference in both
+    overflow modes."""
+
+    @staticmethod
+    def _reference(keys, ids, cap, overflow):
+        from collections import Counter
+
+        c, over = Counter(), 0
+        sub = pd.DataFrame({"k": keys, "id": ids})
+        for _, grp in sub.groupby("k"):
+            lst = sorted(grp["id"].unique().tolist())
+            if overflow == "truncate":
+                over += max(len(lst) - cap, 0)
+                lst = lst[:cap]
+                for i, a in enumerate(lst):
+                    for b in lst[i + 1:]:
+                        c[(a, b)] += 1
+            else:
+                if len(lst) <= cap:
+                    for i, a in enumerate(lst):
+                        for b in lst[i + 1:]:
+                            c[(a, b)] += 1
+                else:
+                    over += len(lst)
+                    for a, b in zip(lst, lst[1:]):
+                        c[(a, b)] += 1
+                    for a, b in zip(lst, lst[2:]):
+                        c[(a, b)] += 1
+        return dict(c), over
+
+    @pytest.mark.parametrize("overflow", ["truncate", "chain"])
+    def test_loop_equivalence(self, overflow):
+        from anomaly_detection_ray.stages.dedup import postings_pairs
+
+        rng = np.random.default_rng(5)
+        for trial, (npost, nkey, nid, cap) in enumerate(
+                [(4000, 600, 250, 4), (2000, 30, 400, 8),
+                 (150, 3, 30, 2), (0, 1, 1, 4)]):
+            keys = rng.integers(0, nkey, npost).astype(np.uint64)
+            ids = np.array([f"d{x:05d}" for x in rng.integers(0, nid, npost)],
+                           dtype=object)
+            ref, ref_over = self._reference(keys, ids, cap, overflow)
+            out, over = postings_pairs(keys, ids, cap=cap, overflow=overflow)
+            got = {(a, b): int(s)
+                   for a, b, s in zip(out["a"], out["b"], out["shared"])}
+            assert got == ref, (overflow, trial)
+            assert over == ref_over, (overflow, trial)

@@ -62,11 +62,16 @@ def doc_length_stats(sf_dir: str) -> pd.DataFrame:
     }).sort_values("lang").reset_index(drop=True)
 
 
-def _literal_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Sorted-unique uint64 hashes of the LITERAL-split word n-grams of
-    one document (split on single space, full n-grams only — mirrors the
-    oracle's string_split + generate_series exactly; word_ngram_sets'
-    whitespace-regex + short-doc fallback would diverge)."""
+def _literal_ngram_hashes(text: str, n: int,
+                          unique: bool = True) -> np.ndarray:
+    """uint64 hashes of the LITERAL-split word n-grams of one document
+    (split on single space, full n-grams only — mirrors the oracle's
+    string_split + generate_series exactly; word_ngram_sets'
+    whitespace-regex + short-doc fallback would diverge).  The ONLY gram
+    builder for oracle-mirrored queries (benchmark_contamination,
+    repetition_scores) — one copy so the SQL contract can't
+    desynchronize.  ``unique=True`` returns the sorted-unique set;
+    ``unique=False`` the full multiset in document order."""
     from anomaly_detection_ray.functions.hashing import hash64
 
     ws = (text or "").split(" ")
@@ -74,7 +79,8 @@ def _literal_ngram_hashes(text: str, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     grams = np.array([" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)],
                      dtype=object)
-    return np.unique(hash64(grams))
+    h = hash64(grams)
+    return np.unique(h) if unique else h
 
 
 def repetition_scores(sf_dir: str, n: int = 3) -> pd.DataFrame:
@@ -87,7 +93,6 @@ def repetition_scores(sf_dir: str, n: int = 3) -> pd.DataFrame:
     Pure per-row map — no shuffle; gram hashing reuses the literal
     single-space split so the DuckDB oracle (count vs count DISTINCT
     over the same grams) matches exactly."""
-    from anomaly_detection_ray.functions.hashing import hash64
     from anomaly_detection_ray.functions.text import round_half_up6
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -99,12 +104,9 @@ def repetition_scores(sf_dir: str, n: int = 3) -> pd.DataFrame:
     def score(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for did, t in zip(df["doc_id"], df["text"]):
-            ws = (t or "").split(" ")
-            if len(ws) < n:
+            h = _literal_ngram_hashes(t, n, unique=False)
+            if not h.size:
                 continue  # no full n-grams → no row (oracle GROUP BY twin)
-            grams = np.array([" ".join(ws[i:i + n])
-                              for i in range(len(ws) - n + 1)], dtype=object)
-            h = hash64(grams)
             total = h.size
             distinct = np.unique(h).size
             rows.append((int(did), total,
@@ -147,10 +149,15 @@ def benchmark_contamination(sf_dir: str, n_benchmark: int = 20,
     sets = [g for g in fmap.values() if g.size]
     bench = (np.unique(np.concatenate(sets)) if sets
              else np.empty(0, dtype=np.uint64))
-    ref = ray.put((bench, frozenset(bench_ids)))
 
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "n_shared": pd.Series(dtype="int64")})
+    if not bench.size:
+        # every benchmark doc is shorter than n words — skip the corpus
+        # pass entirely rather than hash every document's grams for a
+        # guaranteed-empty membership check
+        return empty
+    ref = ray.put((bench, frozenset(bench_ids)))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         cache = scan.__dict__

@@ -53,6 +53,7 @@ from anomaly_detection_ray.config import DUR_MS_TOLERANCE
 from anomaly_detection_ray.stages.decode import DecodeStats
 from anomaly_detection_ray.stages.drift import drift_verdicts
 from anomaly_detection_ray.stages.fused import (
+    VIOL_EXAMPLES_MERGE_CAP,
     SuitePartials,
     collect_suite_partials,
     side_key_partials,
@@ -330,9 +331,13 @@ def validate_clips(
             dups = bad_keys[bad_keys["n_left"] > 1]
             dup_parts = dups.groupby(PARTITION_COL).size().to_dict() if len(dups) else {}
             if len(dups):
+                # bounded EXAMPLES — the counts above stay exact; a fully-
+                # duplicated table must not materialize O(keys) violation
+                # rows on the driver (same storm rule as the fused checks)
+                ex = dups.head(VIOL_EXAMPLES_MERGE_CAP)
                 violation_frames.append(
-                    dups.assign(check="uniqueness",
-                                detail="clip_id count=" + dups["n_left"].astype(str))[
+                    ex.assign(check="uniqueness",
+                              detail="clip_id count=" + ex["n_left"].astype(str))[
                         ["clip_id", PARTITION_COL, "check", "detail"]])
             for pid in partitions:
                 n = int(dup_parts.get(pid, 0))
@@ -342,8 +347,10 @@ def validate_clips(
 
         if need_ref:
             ref_parts: dict[str, int] = {}
-            # multiplicity matches the anti-join contract: one violation row
-            # per orphan ROW, not per key
+            # orphan counts stay one-per-ROW (the anti-join contract), but
+            # counts come from a groupby-SUM and only a bounded example
+            # prefix is row-expanded — a mis-joined table with millions of
+            # orphans must not materialize them all on the driver
             miss = bad_keys[(bad_keys["n_left"] > 0) & (bad_keys["n_right"] == 0)]
             orph = bad_keys[bad_keys["n_left"] == 0]
             for df, reps, detail in (
@@ -351,9 +358,15 @@ def validate_clips(
                 (orph, orph["n_right"] if len(orph) else None, "transcript row has no clip"),
             ):
                 if len(df):
-                    rep = df.loc[df.index.repeat(reps.astype(int))]
-                    for p, c in rep.groupby(PARTITION_COL).size().items():
+                    reps = reps.astype(int)
+                    sums = df.assign(__n=reps).groupby(PARTITION_COL)["__n"].sum()
+                    for p, c in sums.items():
                         ref_parts[p] = ref_parts.get(p, 0) + int(c)
+                    k = int(np.searchsorted(reps.cumsum().to_numpy(),
+                                            VIOL_EXAMPLES_MERGE_CAP) + 1)
+                    sub = df.head(k)
+                    rep = (sub.loc[sub.index.repeat(reps.head(k))]
+                           .head(VIOL_EXAMPLES_MERGE_CAP))
                     violation_frames.append(rep.assign(check="referential", detail=detail)[
                         ["clip_id", PARTITION_COL, "check", "detail"]])
             for pid in partitions:

@@ -153,16 +153,23 @@ class SuitePartials:
         vcounts: dict[tuple, int] = {}
         cap = self.viol_examples_per_block
 
-        def register(pids, check: str) -> None:
-            import pandas as pd
-
-            for p, c in pd.Series(list(pids)).value_counts().items():
-                vcounts[(p, check)] = vcounts.get((p, check), 0) + int(c)
+        def register(pid_col, check: str) -> None:
+            # C-level Arrow value_counts — the storm case must not pay
+            # per-bad-row Python (to_pylist + pandas Series) just to count
+            vc = pc.value_counts(pid_col.combine_chunks()
+                                 if isinstance(pid_col, pa.ChunkedArray)
+                                 else pid_col)
+            for sv in vc:
+                p = sv["values"].as_py()
+                if p is None:  # dirty data: fold into the stats sentinel
+                    p = "__null__"
+                vcounts[(p, check)] = vcounts.get((p, check), 0) + int(
+                    sv["counts"].as_py())
 
         if self.want_null:
             nulls = batch.filter(pc.is_null(batch["transcript"]))
             if nulls.num_rows:
-                register(nulls[self.partition_col].to_pylist(), "null_rate")
+                register(nulls[self.partition_col], "null_rate")
                 head = nulls.slice(0, cap)
                 for cid, pid in zip(head[self.key_col].to_pylist(),
                                     head[self.partition_col].to_pylist()):
@@ -172,7 +179,7 @@ class SuitePartials:
                          pc.and_(batch["codec_match"], batch["dur_match"]))
             bad = batch.filter(pc.invert(ok))
             if bad.num_rows:
-                register(bad[self.partition_col].to_pylist(), "audio_decode")
+                register(bad[self.partition_col], "audio_decode")
                 for r in bad.slice(0, cap).to_pylist():
                     if not r["decode_ok"]:
                         detail = f"decode failed: {r['decode_error']}"
@@ -205,7 +212,7 @@ class SuitePartials:
                                False)
             if pc.any(bad).as_py():
                 sub = batch.filter(bad)
-                register(sub[self.partition_col].to_pylist(), "transcript_rate")
+                register(sub[self.partition_col], "transcript_rate")
                 head = sub.slice(0, cap)
                 cps_head = cps.filter(bad).slice(0, cap)
                 for cid, pid, c in zip(head[self.key_col].to_pylist(),
@@ -216,9 +223,17 @@ class SuitePartials:
         for chk in self.custom_checks:
             rows_chk = chk.row_violations(batch)
             if rows_chk:
-                for _, pid, name, _d in rows_chk:
-                    vcounts[(pid, name)] = vcounts.get((pid, name), 0) + 1
-                viols.extend(rows_chk[:cap])
+                # cap examples PER CHECK NAME (a plugin may emit rows
+                # under several names — a hot first name must not starve
+                # the others' examples), counts exact for all
+                kept_per_name: dict[str, int] = {}
+                for v in rows_chk:
+                    name = v[2]
+                    vcounts[(v[1], name)] = vcounts.get((v[1], name), 0) + 1
+                    s = kept_per_name.get(name, 0)
+                    if s < cap:
+                        viols.append(v)
+                        kept_per_name[name] = s + 1
         if viols or vcounts:
             rows.append((KIND_VIOL, "", "", 0, pickle.dumps((viols, vcounts))))
         return _rows_table(rows)

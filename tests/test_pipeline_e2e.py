@@ -807,3 +807,31 @@ class TestCheckpointStats:
         assert abs(est - exact) / exact < 0.05
         # counts in saved stats match the run's own stats frame
         assert int(df.loc[df["column"] == "clip_id", "count"].sum()) == N
+
+
+class TestDriverViolationBounding:
+    def test_referential_examples_capped_counts_exact(self, monkeypatch):
+        """The driver-side referential path must bound example rows while
+        the verdict's orphan COUNT stays exact (the fused checks' storm
+        rule applies to the key-exchange products too)."""
+        import anomaly_detection_ray.pipelines.validate as V
+
+        cfg = SuiteConfig(num_partitions=4, decode_concurrency=2)
+        full = validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+        ref_full = full.violations[full.violations["check"] == "referential"]
+        true_orphans = len(ref_full)
+        assert true_orphans > 2, "fixture must plant several orphans"
+
+        monkeypatch.setattr(V, "VIOL_EXAMPLES_MERGE_CAP", 1)
+        capped = validate_clips(clips_path(N), transcripts_path(N), config=cfg)
+        ref_capped = capped.violations[capped.violations["check"] == "referential"]
+        # miss + orph arms each cap at 1 → at most 2 example rows
+        assert len(ref_capped) <= 2 < true_orphans
+        # verdict debug counts unchanged — exact despite capped examples
+        def orphan_total(res):
+            v = res.verdicts
+            return sum(
+                int(r["referential"]["orphans"])
+                for r in v.loc[v["quality_check_type"] == "referential",
+                               "additional_debug_info"])
+        assert orphan_total(capped) == orphan_total(full) == true_orphans

@@ -517,3 +517,40 @@ class TestPostingsPairs:
                    for a, b, s in zip(out["a"], out["b"], out["shared"])}
             assert got == ref, (overflow, trial)
             assert over == ref_over, (overflow, trial)
+
+
+class TestExactOrderStatsProperty:
+    """Property test: exact_order_stats must equal np.sort indexing for
+    ANY value distribution — mass points, empty gaps, extreme outliers,
+    tiny pads and tiny collect caps were each a real bug this round."""
+
+    def test_random_adversarial_mixtures(self, ray_session):
+        from anomaly_detection_ray.stages.stats import exact_order_stats
+
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            parts = []
+            # random mixture of mass points, uniform spans and outliers
+            for _ in range(rng.integers(1, 4)):
+                kind = rng.integers(0, 3)
+                m = int(rng.integers(200, 4_000))
+                if kind == 0:       # mass point (possibly huge)
+                    parts.append(np.full(m, float(rng.normal(0, 10))))
+                elif kind == 1:     # continuous span
+                    parts.append(rng.normal(rng.normal(0, 5), 2, size=m))
+                else:               # extreme outliers
+                    parts.append(rng.normal(0, 1e6, size=m))
+            v = np.concatenate(parts)
+            rng.shuffle(v)
+            n = v.size
+            ranks = sorted({0, n - 1, n // 2,
+                            int(rng.integers(0, n)), int(rng.integers(0, n))})
+            ds = rd.from_pandas(pd.DataFrame({"value": v}))
+            got = exact_order_stats(
+                ds, "value", ranks,
+                pad=float(rng.choice([1e-12, 0.002, 0.05])),
+                collect_cap=int(rng.choice([50, 500, 1 << 17])),
+                max_rounds=12)
+            want = np.sort(v)
+            for r in ranks:
+                assert got[r] == want[r], (seed, r)

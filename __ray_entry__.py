@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": textops.doc_length_stats,
         "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
+        "source_mixture_sample": textops.source_mixture_sample,
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
         "minhash_near_dups": textops.minhash_near_dups,
@@ -669,6 +670,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
             ORDER BY lang, doc_id
+        """,
+        # weighted mixing quotas: 2 + 3·(source_index mod 5) lowest
+        # doc_ids per source (pipelines/textops.py:_mixture_quota)
+        "source_mixture_sample": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                <= 2 + 3 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                 AS INT) % 5)
+            ORDER BY source, doc_id
         """,
         # mirrors functions/text.py:detect_language's decision tree: han
         # ratio → zh; best stopword-profile hit with ties falling to the

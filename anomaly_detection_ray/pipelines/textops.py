@@ -246,6 +246,53 @@ def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
             .sort_values(["lang", "doc_id"]).reset_index(drop=True))
 
 
+def _mixture_quota(source: str) -> int:
+    """Deterministic per-source sampling quota (2..14 docs): stands in
+    for a training-mix weight table; mirrored literally in the DuckDB
+    oracle so the sample is value-checkable."""
+    import re
+
+    idx = int(re.sub(r"[^0-9]", "", source) or 0)
+    return 2 + 3 * (idx % 5)
+
+
+def source_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted data mixing: per-source sampling quotas (training
+    pipelines up/down-weight sources when composing a mix), taken as the
+    quota lowest doc_ids per source for determinism.
+
+    Same bounded per-block partial shape as stratified_sample_docs —
+    each block emits at most quota(source) candidate ids per source it
+    sees (np.partition partial), a tiny driver reduce keeps the global
+    quota; per-source output is bounded regardless of source skew and
+    no global sort runs."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype=object)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("source", observed=True):
+            q = _mixture_quota(str(src))
+            ids = g["doc_id"].to_numpy()
+            if len(ids) > q:
+                ids = np.partition(ids, q - 1)[:q]
+            outs.append(pd.DataFrame({"doc_id": ids, "source": src}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    out = (parts.sort_values(["source", "doc_id"])
+           .groupby("source", observed=True, group_keys=False)
+           .apply(lambda g: g.head(_mixture_quota(str(g["source"].iloc[0])))))
+    return (out[["doc_id", "source"]].astype({"doc_id": "int64"})
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Exact md5 content fingerprints (oracle: DuckDB md5())."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
         "source_mixture_sample": textops.source_mixture_sample,
+        "curated_docs": textops.curated_docs,
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
         "minhash_near_dups": textops.minhash_near_dups,
@@ -670,6 +671,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 50
             ORDER BY lang, doc_id
+        """,
+        # flagship curation composition (pipelines/textops.py:
+        # curated_docs): exact dedup → decontaminate (8-gram vs the
+        # top-20-id eval set, eval docs excluded) → Gopher repetition
+        # filter (dup-3-gram ratio ≤ 0.2, short docs pass) → per-source
+        # mixing quotas; every stage is also individually oracled
+        "curated_docs": """
+            WITH dedup AS (SELECT min(doc_id) AS doc_id FROM documents
+                           GROUP BY text),
+            bench_ids AS (SELECT doc_id FROM documents
+                          ORDER BY doc_id DESC LIMIT 20),
+            tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+            idx8 AS (SELECT doc_id, w,
+                            unnest(generate_series(1, len(w) - 7)) AS i
+                     FROM tok),
+            grams8 AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                       FROM idx8),
+            bgrams AS (SELECT DISTINCT g FROM grams8
+                       WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+            contaminated AS (SELECT DISTINCT doc_id FROM grams8
+                             WHERE g IN (SELECT g FROM bgrams)),
+            idx3 AS (SELECT doc_id, w,
+                            unnest(generate_series(1, len(w) - 2)) AS i
+                     FROM tok),
+            grams3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                       FROM idx3),
+            rep AS (SELECT doc_id,
+                           1.0 - count(DISTINCT g)::DOUBLE / count(*) AS r
+                    FROM grams3 GROUP BY doc_id),
+            kept AS (SELECT d.doc_id, d.source
+                     FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+                     WHERE d.doc_id IN (SELECT doc_id FROM dedup)
+                       AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                       AND d.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+                       AND coalesce(rep.r, 0.0) <= 0.2)
+            SELECT doc_id, source FROM kept
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                <= 2 + 3 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                 AS INT) % 5)
+            ORDER BY source, doc_id
         """,
         # weighted mixing quotas: 2 + 3·(source_index mod 5) lowest
         # doc_ids per source (pipelines/textops.py:_mixture_quota)

@@ -122,6 +122,16 @@ def repetition_scores(sf_dir: str, n: int = 3) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _benchmark_ids(ds: ray.data.Dataset, n_benchmark: int) -> set:
+    """The n highest doc_ids (the deterministic eval-set stand-in) via
+    per-block top-n partials + a tiny driver merge."""
+    top = (ds.select_columns(["doc_id"])
+           .map_batches(lambda df: df.nlargest(n_benchmark, "doc_id"),
+                        batch_format="pandas")
+           .to_pandas().nlargest(n_benchmark, "doc_id"))
+    return set(int(x) for x in top["doc_id"])
+
+
 def benchmark_contamination(sf_dir: str, n_benchmark: int = 20,
                             n: int = 8) -> pd.DataFrame:
     """Decontamination primitive: flag corpus documents that share ≥1
@@ -139,11 +149,7 @@ def benchmark_contamination(sf_dir: str, n_benchmark: int = 20,
     from anomaly_detection_ray.stages.dedup import gather_doc_features
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    top = (ds.select_columns(["doc_id"])
-           .map_batches(lambda df: df.nlargest(n_benchmark, "doc_id"),
-                        batch_format="pandas")
-           .to_pandas().nlargest(n_benchmark, "doc_id"))
-    bench_ids = set(int(x) for x in top["doc_id"])
+    bench_ids = _benchmark_ids(ds, n_benchmark)
     fmap = gather_doc_features(ds, "doc_id", "text", bench_ids,
                                lambda t: _literal_ngram_hashes(t, n))
     sets = [g for g in fmap.values() if g.size]
@@ -256,18 +262,11 @@ def _mixture_quota(source: str) -> int:
     return 2 + 3 * (idx % 5)
 
 
-def source_mixture_sample(sf_dir: str) -> pd.DataFrame:
-    """Weighted data mixing: per-source sampling quotas (training
-    pipelines up/down-weight sources when composing a mix), taken as the
-    quota lowest doc_ids per source for determinism.
-
-    Same bounded per-block partial shape as stratified_sample_docs —
-    each block emits at most quota(source) candidate ids per source it
-    sees (np.partition partial), a tiny driver reduce keeps the global
-    quota; per-source output is bounded regardless of source skew and
-    no global sort runs."""
-    ds = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
-
+def _quota_sample(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Per-source quota sampling over any (doc_id, source) dataset:
+    the quota(source) lowest doc_ids per source, via bounded per-block
+    np.partition partials and a tiny driver reduce — per-source output
+    bounded regardless of skew, no global sort."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "source": pd.Series(dtype=object)})
 
@@ -291,6 +290,59 @@ def source_mixture_sample(sf_dir: str) -> pd.DataFrame:
            .apply(lambda g: g.head(_mixture_quota(str(g["source"].iloc[0])))))
     return (out[["doc_id", "source"]].astype({"doc_id": "int64"})
             .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+def source_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted data mixing: per-source sampling quotas (training
+    pipelines up/down-weight sources when composing a mix), taken as the
+    quota lowest doc_ids per source for determinism (see
+    ``_quota_sample`` for the bounded-partial shape)."""
+    return _quota_sample(
+        sf_table(sf_dir, "documents", columns=["doc_id", "source"]))
+
+
+def curated_docs(sf_dir: str, n_benchmark: int = 20,
+                 max_rep_ratio: float = 0.2) -> pd.DataFrame:
+    """Flagship curation composition — the full pre-training data path
+    over the documents table, each stage one of the engine's own
+    operators, chained streaming:
+
+    1. exact dedup (min doc_id per text; keys-only blob shuffle),
+    2. benchmark decontamination (drop docs sharing a word 8-gram with
+       the eval set, and the eval docs themselves),
+    3. repetition filter (Gopher dup-3-gram ratio ≤ ``max_rep_ratio``;
+       docs too short for a 3-gram pass),
+    4. weighted source mixing (per-source quotas over the survivors).
+
+    The contaminated + benchmark id set broadcasts once (tiny by
+    construction); stages 1–3 stream block-by-block and only stage 4's
+    bounded quota partials reach the driver.  Oracled end-to-end by the
+    same CTE chain (every stage is also individually oracled)."""
+    from anomaly_detection_ray.stages.dedup import exact_dedup
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    deduped = exact_dedup(ds, ["text"], "doc_id")
+    cont = benchmark_contamination(sf_dir, n_benchmark=n_benchmark)
+    bench = _benchmark_ids(ds, n_benchmark)
+    drop_ref = ray.put(np.array(sorted(
+        set(int(x) for x in cont["doc_id"]) | bench), dtype=np.int64))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cache = keep.__dict__
+        if "drop" not in cache:
+            cache["drop"] = ray.get(drop_ref)
+        dropset = cache["drop"]
+        m = ~np.isin(df["doc_id"].to_numpy(dtype=np.int64), dropset,
+                     assume_unique=False)
+        sub = df[m]
+        ok = []
+        for t in sub["text"]:
+            h = _literal_ngram_hashes(t, 3, unique=False)
+            ok.append(h.size == 0
+                      or 1.0 - np.unique(h).size / h.size <= max_rep_ratio)
+        return sub[np.asarray(ok, dtype=bool)][["doc_id", "source"]]
+
+    return _quota_sample(deduped.map_batches(keep, batch_format="pandas"))
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:

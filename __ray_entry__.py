@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": audioops.audio_dup_pairs,
         "audio_dedup_clips": audioops.audio_dedup_clips,
         "audio_search": audioops.audio_search,
+        "curated_clips": audioops.curated_clips,
         # freshness / completeness over synthetic ingest history
         "freshness_verdicts": lambda sf_dir: history.freshness_verdicts(),
         "completeness_verdicts": lambda sf_dir: history.completeness_verdicts(),

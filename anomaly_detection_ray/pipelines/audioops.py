@@ -260,6 +260,63 @@ def audio_search(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     return audio_similarity_search(ds, fpm, k=k)
 
 
+def curated_clips(sf_dir: str) -> pd.DataFrame:
+    """Audio-axis curation flagship over the transcode-dups clips table
+    — the training-data path a speech corpus runs, each stage the
+    engine's own operator, chained streaming:
+
+    1. codec-invariant fingerprint dedup collapse (transcode losers
+       dropped via the broadcast union-find loser set),
+    2. decode/metadata QC filter (payload must decode and its sr_hz /
+       codec / dur_ms columns must match the decoded signal — actor-pool
+       DecodeStats, bytes die in the stage),
+    3. transcript consistency filter (non-null transcript with a
+       plausible chars-per-second for the stated duration, the
+       transcript_rate bounds).
+
+    Output: kept (clip_id, codec) rows.  Rows-only — decode is not
+    SQL-expressible; each stage is pinned by its own planted tests and
+    the composition by tests/test_audio.py::TestCuratedClips."""
+    from anomaly_detection_ray.config import SuiteConfig
+    from anomaly_detection_ray.stages.decode import DecodeStats
+    from anomaly_detection_ray.stages.dedup import (
+        drop_near_dup_losers,
+        union_find_components,
+    )
+
+    ds = _clips_dups_ds(sf_dir)
+    pairs = audio_fingerprint_pairs(ds)
+    comp = union_find_components(pairs)
+
+    cfg = SuiteConfig()
+    lo, hi = cfg.transcript_min_cps, cfg.transcript_max_cps
+
+    n = max(int(60_000 * _sf_of_dups(sf_dir)), 400)
+    full = read_table(clips_dups_path(n),
+                      columns=["clip_id", "bytes", "sr_hz", "dur_ms",
+                               "codec", "transcript"])
+
+    def qc(batch) -> "pd.DataFrame":
+        facts = DecodeStats()(batch).to_pandas()
+        ok = (facts["decode_ok"] & facts["sr_match"]
+              & facts["codec_match"] & facts["dur_match"])
+        tr = facts["transcript"]
+        dur_s = facts["dur_ms"].astype(float) / 1000.0
+        cps = tr.str.len() / dur_s.where(dur_s > 0)
+        ok &= tr.notna() & cps.between(lo, hi)
+        return facts.loc[ok, ["clip_id", "codec"]]
+
+    kept = drop_near_dup_losers(
+        full.map_batches(qc, batch_format="pyarrow"), "clip_id", comp)
+    return (kept.to_pandas().sort_values("clip_id").reset_index(drop=True))
+
+
+def _sf_of_dups(sf_dir: str) -> float:
+    from anomaly_detection_ray.pipelines.media import _sf_of
+
+    return _sf_of(sf_dir, default=0.001)
+
+
 def audio_dedup_clips(sf_dir: str) -> pd.DataFrame:
     """Collapse audio near-dup pairs to one kept clip per content cluster
     (MIN clip_id), same union-find + broadcast-loser shape as the text

@@ -247,3 +247,37 @@ class TestAudioSimilaritySearch:
                                     "shared", "overlap"}
         for qid, grp in out.groupby("query_id"):
             assert qid + "-xc" in set(grp["match_id"]), qid
+
+
+class TestCuratedClips:
+    def test_composition_drops_each_planted_class(self, ray_session):
+        """The audio curation chain must drop transcode-dup losers,
+        undecodable/mismatched payloads, and null transcripts — and keep
+        the clean majority."""
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.audioops import curated_clips
+        from anomaly_detection_ray.sources.synth import clips_dups_path
+
+        sf = "/root/testdata/sf0.001"  # 400-row base table
+        kept = set(curated_clips(sf)["clip_id"])
+        tbl = pq.read_table(clips_dups_path(400),
+                            columns=["clip_id", "transcript"]).to_pandas()
+        ids = set(tbl["clip_id"])
+        # planted -xc transcodes collapse: base id sorts first, so no kept
+        # clip should be an -xc twin whose base is also kept
+        for cid in kept:
+            if cid.endswith("-xc"):
+                assert cid[:-3] not in kept, cid
+        # null-transcript clips are dropped
+        null_ids = set(tbl.loc[tbl["transcript"].isna(), "clip_id"])
+        assert null_ids and not (null_ids & kept)
+        # QC filters only trim the dedup-kept set slightly — the
+        # aggressive collapse itself is the pure-tone corpus's documented
+        # self-similarity (audio_dedup_clips keeps ~125 of 414 here)
+        from anomaly_detection_ray.pipelines.audioops import audio_dedup_clips
+
+        dedup_kept = set(audio_dedup_clips(sf)["clip_id"])
+        assert kept <= dedup_kept
+        assert len(kept) > 0.8 * len(dedup_kept)
+        assert ids - dedup_kept, "collapse must actually drop dup losers"

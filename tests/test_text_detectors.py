@@ -359,3 +359,34 @@ class TestBenchmarkContamination:
                        str(tmp_path / "documents.parquet"))
         out = benchmark_contamination(str(tmp_path), n_benchmark=1, n=8)
         assert out.empty
+
+
+class TestCuratedDocs:
+    def test_each_stage_drops_its_planted_doc(self, ray_session, tmp_path):
+        """One planted doc per curation stage: an exact-dup loser, a
+        benchmark-contaminated doc, a repetitive doc — each must be
+        dropped, a clean doc kept, and the eval doc itself excluded."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.textops import curated_docs
+
+        base = " ".join(f"w{i}" for i in range(20))
+        bench = " ".join(f"b{i}" for i in range(30))
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 900],
+            "text": [
+                base,                                     # kept (winner)
+                base,                                     # dup loser of 1
+                "x " + " ".join(f"b{i}" for i in range(8, 17)),  # contaminated
+                " ".join(["rep rep rep"] * 10),           # repetitive
+                " ".join(f"u{i}" for i in range(15)),     # kept
+                bench,                                    # the eval doc
+            ],
+            "source": ["src1"] * 6,
+        })
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        out = curated_docs(str(tmp_path), n_benchmark=1, max_rep_ratio=0.2)
+        assert set(out["doc_id"]) == {1, 5}

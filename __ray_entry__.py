@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
         "value_quantiles_exact": history.value_quantiles_exact,
+        "value_quantiles_by_type_exact": history.value_quantiles_by_type_exact,
         "events_drift_halves": history.events_drift_halves,
         "drift_halves_exact": history.drift_halves_exact,
         "spot_anomalies": history.spot_anomalies,
@@ -801,6 +802,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sorted lo ON lo.rk = p.klo
             JOIN sorted hi ON hi.rk = p.khi
             ORDER BY p.q
+        """,
+        # grouped exact quantiles: the global twin's rank arithmetic
+        # PARTITION BY event_type (pipelines/history.py:
+        # value_quantiles_by_type_exact)
+        "value_quantiles_by_type_exact": """
+            WITH n AS (SELECT event_type, count(value) AS c
+                       FROM events GROUP BY 1),
+            qs AS (SELECT unnest([0.5, 0.95]) AS q),
+            pos AS (SELECT event_type, q,
+                           CAST(floor((c - 1) * q) AS BIGINT) AS klo,
+                           least(CAST(floor((c - 1) * q) AS BIGINT) + 1,
+                                 c - 1) AS khi
+                    FROM n, qs),
+            sorted AS (SELECT event_type, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value) - 1 AS rk
+                       FROM events WHERE value IS NOT NULL)
+            SELECT p.event_type, p.q, p.klo AS rank_lo,
+                   lo.value AS value_lo, hi.value AS value_hi
+            FROM pos p
+            JOIN sorted lo ON lo.event_type = p.event_type AND lo.rk = p.klo
+            JOIN sorted hi ON hi.event_type = p.event_type AND hi.rk = p.khi
+            ORDER BY p.event_type, p.q
         """,
         # exact drift twin: KS cumulative sums / chi-square terms follow the
         # same IEEE-double op order as pipelines/history.py:drift_halves_exact

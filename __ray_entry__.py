@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": history.value_quantiles,
         "value_quantiles_exact": history.value_quantiles_exact,
         "value_quantiles_by_type_exact": history.value_quantiles_by_type_exact,
+        "value_histogram": history.value_histogram,
         "events_drift_halves": history.events_drift_halves,
         "drift_halves_exact": history.drift_halves_exact,
         "spot_anomalies": history.spot_anomalies,
@@ -802,6 +803,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sorted lo ON lo.rk = p.klo
             JOIN sorted hi ON hi.rk = p.khi
             ORDER BY p.q
+        """,
+        # fixed-bin histogram: identical IEEE floor((v-min)/width)
+        # binning, last-bin clamp, dense 0-fill
+        # (pipelines/history.py:value_histogram)
+        "value_histogram": """
+            WITH mm AS (SELECT min(value) AS mn, max(value) AS mx
+                        FROM events),
+            w AS (SELECT mn, (mx - mn) / 20.0 AS width FROM mm),
+            binned AS (SELECT least(CAST(floor((value - w.mn) / w.width)
+                                         AS BIGINT), 19) AS bin
+                       FROM events, w WHERE value IS NOT NULL),
+            counts AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin)
+            SELECT d.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM (SELECT unnest(generate_series(0, 19)) AS bin) d
+            LEFT JOIN counts c ON d.bin = c.bin
+            ORDER BY d.bin
         """,
         # grouped exact quantiles: the global twin's rank arithmetic
         # PARTITION BY event_type (pipelines/history.py:

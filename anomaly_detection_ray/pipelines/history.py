@@ -590,6 +590,55 @@ def value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def value_histogram(sf_dir: str, bins: int = 20) -> pd.DataFrame:
+    """Fixed-bin histogram of events.value — the column-profiling
+    primitive behind distribution drift and data exploration.
+
+    One exact min/max pass (column_stats partials), then per-block
+    ``np.bincount`` pre-aggregation and ONE grouped_sums blob shuffle
+    over ≤ ``bins`` keys; dense 0-filled output.  Bin edges use the
+    identical IEEE expression ``floor((v − min)/width)`` on both sides
+    (width = (max−min)/bins in float64), clamped to the last bin, so
+    boundary values bin identically in Ray and the oracle."""
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+    from anomaly_detection_ray.stages.stats import column_stats
+
+    ds = sf_table(sf_dir, "events", columns=["value"])
+    stats = column_stats(ds, ["value"]).to_pandas()
+    mn = float(stats["min"].iloc[0])
+    mx = float(stats["max"].iloc[0])
+    empty = pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64")})
+    if not np.isfinite(mn) or not np.isfinite(mx):
+        return empty
+    width = (mx - mn) / bins
+    if width == 0.0:  # constant column: everything in bin 0
+        total = int(stats["count"].iloc[0] - stats["nulls"].iloc[0])
+        out = pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                            "n": np.zeros(bins, dtype=np.int64)})
+        out.loc[0, "n"] = total
+        return out
+
+    def partial(t) -> pd.DataFrame:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return pd.DataFrame({"bin": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        b = np.minimum(np.floor((v - mn) / width).astype(np.int64), bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "n": counts[nz].astype(np.int64)})
+
+    agg = grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["bin"], ["n"]).to_pandas()
+    dense = pd.DataFrame({"bin": np.arange(bins, dtype=np.int64)})
+    out = dense.merge(agg[["bin", "n"]], on="bin", how="left").fillna(0)
+    return out.astype({"bin": "int64", "n": "int64"}).sort_values(
+        "bin").reset_index(drop=True)
+
+
 def value_quantiles_by_type_exact(sf_dir: str) -> pd.DataFrame:
     """Grouped exact quantiles — the per-key variant of
     :func:`value_quantiles_exact` (reference A3 medians/quantiles, here

@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text ops
         "token_counts_by_lang": textops.token_counts_by_lang,
         "top_tokens": textops.top_tokens,
+        "doc_top_terms": textops.doc_top_terms,
         "benchmark_contamination": textops.benchmark_contamination,
         "repetition_scores": textops.repetition_scores,
         "doc_length_stats": textops.doc_length_stats,
@@ -646,6 +647,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE g.g IN (SELECT g FROM bgrams)
               AND g.doc_id NOT IN (SELECT doc_id FROM bench_ids)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        # per-doc distinctive terms: integer-exact tf-idf core — rank by
+        # (tf DESC, df ASC, token), top 3 per doc
+        # (pipelines/textops.py:doc_top_terms)
+        "doc_top_terms": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                         FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tf DESC, df ASC, token ASC) AS BIGINT)
+                       AS rank,
+                   token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM tf JOIN df USING (token)
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tf DESC, df ASC, token ASC) <= 3
+            ORDER BY doc_id, rank
         """,
         # corpus vocabulary heavy-hitters: literal single-space split with
         # empties kept on BOTH sides (pipelines/textops.py:top_tokens);

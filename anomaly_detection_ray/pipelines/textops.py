@@ -218,6 +218,73 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def doc_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document distinctive terms: the top-k DISTINCT tokens ranked
+    by in-document term frequency (desc), then global document frequency
+    (asc — rarer is more distinctive), then token.  This is the
+    integer-exact core of tf-idf keyword extraction: dropping the float
+    idf log keeps the ranking total-ordered on integers, so the oracle
+    compares exactly instead of within an ulp.
+
+    Two passes: the global df table builds from per-block
+    distinct-(doc, token) partials through ONE token-keyed blob shuffle
+    (grouped_sums) and broadcasts once via ``ray.put`` (vocabulary ≪
+    corpus; at open-web vocabulary scale the broadcast would prune to
+    the df ≥ 2 tail — df=1 tokens rank identically among themselves by
+    token order, documented); the second pass ranks per document with
+    vectorized value_counts."""
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df.dropna(subset=["text"])
+                .assign(token=lambda d: d["text"].str.split(" "))
+                .explode("token")[["doc_id", "token"]].drop_duplicates())
+        vc = toks["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.astype(object),
+                             "df": vc.to_numpy(dtype=np.int64)})
+
+    dfs = grouped_sums(ds.map_batches(df_partial, batch_format="pandas"),
+                       ["token"], ["df"]).to_pandas()
+    df_ref = ray.put(dict(zip(dfs["token"], dfs["df"].astype(np.int64))))
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "rank": pd.Series(dtype="int64"),
+                          "token": pd.Series(dtype=object),
+                          "tf": pd.Series(dtype="int64"),
+                          "df": pd.Series(dtype="int64")})
+
+    def top_terms(df: pd.DataFrame) -> pd.DataFrame:
+        cache = top_terms.__dict__
+        if "df" not in cache:
+            cache["df"] = ray.get(df_ref)
+        dfmap = cache["df"]
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            if t is None:
+                continue
+            vc = pd.Series(t.split(" ")).value_counts()
+            sub = pd.DataFrame({
+                "token": vc.index.astype(object),
+                "tf": vc.to_numpy(dtype=np.int64)})
+            sub["df"] = sub["token"].map(dfmap).astype(np.int64)
+            sub = sub.sort_values(["tf", "df", "token"],
+                                  ascending=[False, True, True]).head(k)
+            for r, (_, row) in enumerate(sub.iterrows(), start=1):
+                rows.append((int(did), r, row["token"],
+                             int(row["tf"]), int(row["df"])))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=list(empty.columns)).astype(
+            {"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"})
+
+    out = ds.map_batches(top_terms, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def stratified_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Deterministic stratified sample: the ``k`` lowest doc_ids per lang,
     DuckDB-oracled (QUALIFY row_number per lang).

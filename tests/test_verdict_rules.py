@@ -264,6 +264,58 @@ class TestBacktest:
         assert all(n >= 1 for n in update_calls)
 
 
+class TestCadenceBucket:
+    def test_reference_buckets_verbatim(self):
+        # reference freshness_checker.py:284-301 thresholds
+        from anomaly_detection_ray.functions.verdicts import (
+            backtest_cadence_bucket_hours,
+        )
+
+        t0 = 1_700_000_000.0
+        hourly = t0 + 3600.0 * np.arange(50)
+        assert backtest_cadence_bucket_hours(hourly) == 6
+        twelve = t0 + 12 * 3600.0 * np.arange(50)  # boundary: ≤ 12h → 6h
+        assert backtest_cadence_bucket_hours(twelve) == 6
+        daily = t0 + 86400.0 * np.arange(50)
+        assert backtest_cadence_bucket_hours(daily) == 24
+        half_week = t0 + 3.5 * 86400.0 * np.arange(50)  # boundary → 24h
+        assert backtest_cadence_bucket_hours(half_week) == 24
+        monthly = t0 + 30 * 86400.0 * np.arange(10)
+        assert backtest_cadence_bucket_hours(monthly) == 168
+        assert backtest_cadence_bucket_hours(np.array([t0])) == 6  # no cadence
+
+    def test_backtest_grid_follows_partition_cadence(self, ray_session, tmp_path):
+        """backtest_freshness picks each partition's grid from ITS median
+        cadence: an hourly partition evaluates on a 6h grid, a daily one
+        on 24h — and an explicit eval_interval_s pins both."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.history import backtest_freshness
+
+        t_end = 1_700_000_000.0
+        rows = []
+        for pid, step, n in [("hourly", 3600.0, 400), ("daily", 86400.0, 90)]:
+            for ts in t_end - step * np.arange(n):
+                rows.append({"partition_id": pid,
+                             "timestamp": int(ts * 1e6),
+                             "operation": "WRITE",
+                             "operationMetrics": {"numOutputRows": "5"}})
+        path = str(tmp_path / "hist")
+        pq.write_table(pa.Table.from_pylist(rows), path + ".parquet")
+        out = backtest_freshness(path + ".parquet", eval_end_ts=t_end,
+                                 num_evals=6)
+        by = out.groupby("partition_id")["interval_hr"].first()
+        assert by["hourly"] == 6 and by["daily"] == 24
+        # grid spacing in eval_ts matches the per-partition interval
+        for pid, hrs in [("hourly", 6), ("daily", 24)]:
+            ev = np.sort(out.loc[out["partition_id"] == pid, "eval_ts"].unique())
+            assert np.allclose(np.diff(ev), hrs * 3600.0)
+        pinned = backtest_freshness(path + ".parquet", eval_end_ts=t_end,
+                                    num_evals=6, eval_interval_s=6 * 3600.0)
+        assert set(pinned["interval_hr"]) == {6}
+
+
 class TestBlastRadius:
     def test_impact_thresholds_verbatim(self):
         from anomaly_detection_ray.functions.blast_radius import determine_impact_level

@@ -696,9 +696,23 @@ def components_losers(
     distributed structural check, never by collecting the graph — so the
     driver holds O(1) state regardless of pair count (VERDICT r3 #1: the
     union-find dict and whole-loser-set broadcast this replaces were the
-    dedup family's last driver-bound link).  Typical near-dup graphs
-    (cliques + short transcode chains) converge in 1–2 cycles; a path
-    graph of length L takes O(log L)."""
+    dedup family's last driver-bound link).
+
+    Two latency levers on top of the base algorithm:
+
+    - **Block-local contraction**: the canon pass runs a per-BLOCK
+      union-find (bounded by block size — worker-side, never driver) and
+      emits each block's components as min-id stars.  All structure
+      visible inside one block collapses before the first shuffle; the
+      star rounds only stitch components that SPAN blocks.  This is what
+      tames chain-shaped candidate graphs (e.g. the audio hot-fp 2-hop
+      chains, which are generated inside one reducer block): their
+      diameter dies locally instead of costing O(log L) global rounds.
+    - **Geometric check back-off**: the structural convergence check
+      (one extra shuffle + materialize) runs after cycles 1, 2, 4, 8 …
+      instead of every cycle, so long-diameter stragglers don't pay a
+      check per round while typical graphs still exit after one.
+    """
     if isinstance(pairs, pd.DataFrame):
         if pairs.empty:
             return ray.data.from_pandas(
@@ -710,29 +724,43 @@ def components_losers(
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         a = df[a_col].to_numpy()
         b = df[b_col].to_numpy()
-        keep = a != b  # self-loops carry no connectivity
-        a, b = a[keep], b[keep]
-        if len(a) == 0:  # np.where on empties loses the id dtype
-            return pd.DataFrame({"u": a, "v": b})
-        swap = a < b
-        return pd.DataFrame({"u": np.where(swap, b, a),
-                             "v": np.where(swap, a, b)}).drop_duplicates()
+        # block-local union-find: O(block edges) worker-side state; the
+        # emitted (node, min-root) stars are already canonical (u > v)
+        comp = union_find_components(df, a_col, b_col)
+        items = [(n, r) for n, r in comp.items() if n != r]
+        if not items:
+            return pd.DataFrame({"u": a[:0], "v": b[:0]})
+        dt = a.dtype if a.dtype != object else object
+        return pd.DataFrame({
+            "u": np.array([x[0] for x in items], dtype=dt),
+            "v": np.array([x[1] for x in items], dtype=dt)})
 
-    edges = pairs.map_batches(canon, batch_format="pandas")
-    for _ in range(max_rounds):
+    # batch_size lets the local union-find see up to 500k pair rows at a
+    # time (a few tens of MB of worker heap): small/medium graphs collapse
+    # in ONE local pass and the star rounds only stitch across batches,
+    # while at 100-TB pair volumes memory stays bounded per worker.
+    edges = pairs.map_batches(canon, batch_format="pandas",
+                              batch_size=500_000)
+    cycles = 0
+    next_check = 1
+    while cycles < max_rounds:
         edges = _star_pass(edges, large=True, num_buckets=num_buckets)
         edges = _star_pass(edges, large=False, num_buckets=num_buckets)
+        cycles += 1
+        if cycles < next_check and cycles < max_rounds:
+            continue
         labelled = _labels_and_violations(edges, num_buckets).materialize()
         viol = labelled.sum("viol", ignore_nulls=True) or 0
         if viol == 0:
             return labelled.map_batches(
                 lambda df: df[df["node"].notna()][["node", "root"]],
                 batch_format="pandas")
-        # labels double as the (deduped) edge set for the next round
+        # labels double as the (deduped) edge set for the next cycles
         edges = labelled.map_batches(
             lambda df: (df[df["node"].notna()][["node", "root"]]
                         .rename(columns={"node": "u", "root": "v"})),
             batch_format="pandas")
+        next_check = cycles * 2
     raise RuntimeError(
         f"components_losers did not reach a star fixpoint in {max_rounds} "
         f"rounds — raise max_rounds (graph diameter is pathological)")

@@ -78,6 +78,48 @@ class WorkerRssMonitor:
         self._sample()
 
 
+class DriverRssMonitor:
+    """Polls THIS process's RSS (/proc/self/statm): the collapse phase
+    must show a FLAT driver footprint between 1x and 10x (VERDICT r3
+    task 6) — peak-minus-baseline during the phase is the evidence."""
+
+    def __init__(self, interval: float = 0.2):
+        self.interval = interval
+        self.baseline = 0
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _rss() -> int:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096
+
+    def _run(self):
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._rss())
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self.baseline = self._rss()
+        self.peak = self.baseline
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=5)
+        self.peak = max(self.peak, self._rss())
+
+    @property
+    def delta_mb(self) -> float:
+        return round(_mb(self.peak - self.baseline), 0)
+
+    @property
+    def peak_mb(self) -> float:
+        return round(_mb(self.peak), 0)
+
+
 def run_suite(n_rows: int, dur_scale: float) -> dict:
     from anomaly_detection_ray.config import SuiteConfig
     from anomaly_detection_ray.pipelines.validate import validate_clips
@@ -132,6 +174,36 @@ def run_docs(n_docs: int, n_vecs: int) -> dict:
             out[name] = {"wall_s": round(time.perf_counter() - t0, 1),
                          "rows": int(len(r))}
     out["max_worker_rss_mb"] = round(_mb(mon.max_single), 0)
+    # near-dup pipeline, instrumented per phase: candidate+verify first
+    # (its own driver RSS — the gather/score path is the component under
+    # the broadcast-vs-join threshold), then the COLLAPSE alone
+    # (star-contraction components + loser filter): driver RSS during
+    # the collapse must stay flat between 1x and 10x (VERDICT r3 task 6)
+    from anomaly_detection_ray.pipelines.textops import ngram_jaccard_dups
+    from anomaly_detection_ray.sources.readers import read_table
+    from anomaly_detection_ray.stages.dedup import collapse_near_dups
+
+    with DriverRssMonitor() as pmon:
+        t0 = time.perf_counter()
+        pairs = ngram_jaccard_dups(d)
+    out["ngram_jaccard_pairs"] = {
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "rows": int(len(pairs)),
+        "driver_rss_delta_mb": pmon.delta_mb,
+        "driver_rss_peak_mb": pmon.peak_mb,
+    }
+    ids = read_table(os.path.join(d, "documents.parquet"),
+                     columns=["doc_id"])
+    with DriverRssMonitor() as dmon:
+        t0 = time.perf_counter()
+        kept = collapse_near_dups(ids, "doc_id", pairs)
+        n_kept = int(kept.count())
+    out["near_dup_collapse"] = {
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "kept_rows": n_kept,
+        "driver_rss_delta_mb": dmon.delta_mb,
+        "driver_rss_peak_mb": dmon.peak_mb,
+    }
     return out
 
 
@@ -144,10 +216,26 @@ def run_audio(n_clips: int) -> dict:
     out: dict = {"n_clips": n_clips}
     with WorkerRssMonitor() as mon:
         t0 = time.perf_counter()
-        pairs = audio_fingerprint_pairs(read_table(p, columns=["clip_id", "bytes"]))
+        pairs = audio_fingerprint_pairs(
+            read_table(p, columns=["clip_id", "bytes"])).materialize()
         out["audio_dup_pairs"] = {"wall_s": round(time.perf_counter() - t0, 1),
-                                  "rows": int(len(pairs))}
+                                  "rows": int(pairs.count())}
     out["max_worker_rss_mb"] = round(_mb(mon.max_single), 0)
+    # collapse phase on the already-materialized pair Dataset: driver RSS
+    # must stay flat between 1x and 10x (pairs never land on the driver)
+    from anomaly_detection_ray.stages.dedup import collapse_near_dups
+
+    ids = read_table(p, columns=["clip_id"])
+    with DriverRssMonitor() as dmon:
+        t0 = time.perf_counter()
+        kept = collapse_near_dups(ids, "clip_id", pairs)
+        n_kept = int(kept.count())
+    out["audio_dedup_collapse"] = {
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "kept_rows": n_kept,
+        "driver_rss_delta_mb": dmon.delta_mb,
+        "driver_rss_peak_mb": dmon.peak_mb,
+    }
     return out
 
 

@@ -165,17 +165,20 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_char_kgram_hashes(text, k))
 
 
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashed word n-gram set of ONE document (sorted-unique uint64)."""
+    ws = [w for w in _WS.split((text or "").strip()) if w]
+    if not ws:
+        return np.empty(0, dtype=np.uint64)
+    if len(ws) < n:
+        return np.unique(hash64(np.array([" ".join(ws)], dtype=object)))
+    grams = np.array([" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)], dtype=object)
+    return np.unique(hash64(grams))
+
+
 def word_ngram_sets(texts: pd.Series, n: int = 3) -> list[np.ndarray]:
     """Hashed word n-gram sets per document (for exact Jaccard verify)."""
-    out: list[np.ndarray] = []
-    for t in texts.fillna(""):
-        ws = [w for w in _WS.split(t.strip()) if w]
-        if len(ws) < n:
-            out.append(np.unique(hash64(np.array([" ".join(ws)], dtype=object))) if ws else np.empty(0, dtype=np.uint64))
-            continue
-        grams = np.array([" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)], dtype=object)
-        out.append(np.unique(hash64(grams)))
-    return out
+    return [word_ngram_hashes(t, n) for t in texts.fillna("")]
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

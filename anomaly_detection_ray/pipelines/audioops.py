@@ -48,6 +48,7 @@ def audio_fingerprint_pairs(
     max_clips_per_fp: int = 32,
     min_shared: int = 1,
     min_overlap: float = 0.6,
+    broadcast_limit: int = 25_000,
 ) -> ray.data.Dataset:
     """(a, b, shared, overlap) pair DATASET of clips whose
     sub-fingerprint sets overlap ≥ ``min_overlap`` of the smaller set.
@@ -68,9 +69,10 @@ def audio_fingerprint_pairs(
     exchange keyed by (a, b) — not a driver groupby — the verify stage
     maps over the materialized candidate Dataset, and the returned pair
     Dataset feeds the star-contraction collapse without ever landing on
-    the driver.  Driver-resident state is the candidate-ID list and the
-    broadcast feature map (both O(candidate docs), the same bound the
-    feature gather itself needs), never O(pairs)."""
+    the driver.  Verification features broadcast only under
+    ``broadcast_limit`` candidate clips; above it they attach to pairs
+    through hash-partitioned joins (stages/dedup.py:verify_pairs), so NO
+    driver structure grows with the corpus on the scale path."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         fps, ids = [], []
@@ -127,31 +129,19 @@ def audio_fingerprint_pairs(
     if cand.count() == 0:
         return empty_pairs()
 
-    from anomaly_detection_ray.stages.dedup import gather_doc_features
+    from anomaly_detection_ray.stages.dedup import verify_pairs
 
-    ids = (cand.map_batches(
-        lambda df: pd.DataFrame({"id": pd.unique(np.concatenate(
-            [df["a"].to_numpy(), df["b"].to_numpy()]))}),
-        batch_format="pandas").to_pandas())
-    fmap = gather_doc_features(clips, "clip_id", "bytes",
-                               set(ids["id"]), _fp_of_payload)
-    fref = ray.put(fmap)
+    def overlap(fa: np.ndarray, fb: np.ndarray) -> tuple:
+        inter = np.intersect1d(fa, fb, assume_unique=True).size
+        return (round(inter / max(min(fa.size, fb.size), 1), 4),)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        cache = verify.__dict__
-        if "f" not in cache:
-            cache["f"] = ray.get(fref)  # once per worker process
-        f = cache["f"]
-        ov = np.empty(len(df), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(df["a"], df["b"])):
-            fa, fb = f[x], f[y]
-            inter = np.intersect1d(fa, fb, assume_unique=True).size
-            ov[i] = round(inter / max(min(fa.size, fb.size), 1), 4)
-        out = df[["a", "b", "shared"]].copy()
-        out["overlap"] = ov
-        return out[out["overlap"] >= min_overlap]
-
-    return cand.map_batches(verify, batch_format="pandas")
+    scored = verify_pairs(cand, clips, "clip_id", "bytes", _fp_of_payload,
+                          overlap, {"overlap": 0},
+                          broadcast_limit=broadcast_limit)
+    return scored.map_batches(
+        lambda df: df[df["overlap"] >= min_overlap]
+        [["a", "b", "shared", "overlap"]],
+        batch_format="pandas")
 
 
 def audio_similarity_search(

@@ -173,7 +173,16 @@ def gather_doc_features(
 
     out = (docs.select_columns([id_col, text_col])
            .map_batches(feats, batch_format="pyarrow").to_pandas())
-    return {i: pickle.loads(b) for i, b in zip(out["doc_id"], out["feat"])}
+    # duplicate ids (a planted data-quality class in the clips tables)
+    # resolve by CONTENT, not scan order: keep the lexicographically
+    # smallest pickled feature — deterministic, and the same rule
+    # features_dataset applies, so broadcast and join verify shapes agree
+    best: dict = {}
+    for i, b in zip(out["doc_id"], out["feat"]):
+        prev = best.get(i)
+        if prev is None or b < prev:
+            best[i] = b
+    return {i: pickle.loads(b) for i, b in best.items()}
 
 
 def _pair_dataset(cand: pd.DataFrame, rows_per_block: int = 50_000) -> ray.data.Dataset:
@@ -210,6 +219,187 @@ def score_pairs(cand: pd.DataFrame, fmap: dict, score_fn,
 
     return (_pair_dataset(cand[["a", "b"]])
             .map_batches(score, batch_format="pandas").to_pandas())
+
+
+def pair_ids(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """One ``id`` column of the docs referenced by a pair Dataset —
+    per-batch unique (cross-batch duplicates are fine for every consumer:
+    the semi-join tolerates them and the count is used as an upper
+    bound)."""
+    def ids(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(list(t["a"].chunks) + list(t["b"].chunks))
+        return pa.table({"id": pc.unique(both)})
+
+    # explicit batch_size: blob-shuffle upstreams leak schema-less empty
+    # blocks that pass through block-wise maps untouched and break the
+    # downstream hash join's partition build; row coalescing absorbs them
+    return pairs.map_batches(ids, batch_format="pyarrow", batch_size=65536)
+
+
+def _join_partitions(num_partitions: Optional[int]) -> int:
+    """Hash-join partition count sized to the CPU budget: each partition
+    is an aggregator actor holding a CPU share for the join's lifetime,
+    so more partitions than cores just queues actors against the map
+    tasks (observed: a 32-partition join inside a 4-CPU test session
+    deadlocks).  On a real cluster callers pass an explicit count."""
+    if num_partitions is not None:
+        return num_partitions
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(32, cpus))
+
+
+_JOIN_AGG_ARGS = {"num_cpus": 0.25}  # aggregators must never starve maps
+
+
+def features_dataset(
+    docs: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    ids: ray.data.Dataset,
+    feature_fn,
+    *,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """(id, feat) Dataset for the docs named by ``ids`` — the fully
+    distributed sibling of :func:`gather_doc_features`: the corpus is
+    pruned by a hash-partitioned LEFT-SEMI join (no broadcast id set, no
+    driver gather) and ``feature_fn`` runs inside the map on the matching
+    rows.  Features travel as pickled binary so arbitrary objects
+    (hash-set arrays, signatures) ride Arrow blocks."""
+    import pickle
+
+    need = docs.select_columns([id_col, payload_col]).join(
+        ids, "left_semi", _join_partitions(num_partitions),
+        on=(id_col,), right_on=("id",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        # duplicate ids (a planted data-quality class in the clips
+        # tables) resolve to ONE feature by content — lexicographically
+        # smallest pickled bytes, gather_doc_features' exact collision
+        # rule, so both verify shapes agree.  The semi-join hash-
+        # partitions by id and batch_size=None keeps one partition per
+        # batch, so this per-batch min is global.
+        best: dict = {}
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[payload_col].to_pylist()):
+            b = pickle.dumps(feature_fn(t if t is not None else ""))
+            prev = best.get(i)
+            if prev is None or b < prev:
+                best[i] = b
+        return pa.table({"id": pa.array(list(best), batch[id_col].type),
+                         "feat": pa.array(list(best.values()), pa.binary())})
+
+    return need.map_batches(feats, batch_format="pyarrow", batch_size=None)
+
+
+def score_pairs_joined(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    feature_fn,
+    score_fn,
+    columns: dict,
+    *,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Pair scoring with NO driver-resident structure of any size class:
+    candidate ids come from the pair Dataset itself, features are computed
+    on the semi-joined corpus slice (:func:`features_dataset`), and two
+    hash-partitioned inner joins attach feat_a / feat_b to each pair
+    before a vectorized-per-batch scoring map.  This is the 100-TB shape:
+    shuffle volume is O(pairs × feature bytes), driver state O(1) —
+    versus the broadcast path's O(candidate docs) driver feature map.
+    Carry columns on ``pairs`` (e.g. ``shared``) pass through."""
+    import pickle
+
+    # each stage MATERIALIZES (object store, never the driver): feats is
+    # consumed by both joins, and running the semi-join + two inner joins
+    # as one streaming DAG deadlocks — every hash-join operator allocates
+    # its aggregator actor pool up front, and three concurrent pools
+    # oversubscribe the CPU budget while map tasks hold the slots
+    parts = _join_partitions(num_partitions)
+    feats = features_dataset(docs, id_col, payload_col, pair_ids(pairs),
+                             feature_fn,
+                             num_partitions=parts).materialize()
+    # joins need Arrow-backed blocks (Project/rename on pandas blocks is
+    # unsupported) with a uniform schema: the explicit batch_size absorbs
+    # the schema-less empty blocks blob-shuffle upstreams leak, which
+    # otherwise break the hash join's partition build
+    arrow_pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow",
+                                    batch_size=65536)
+    j = arrow_pairs.join(
+        feats.rename_columns({"id": "a", "feat": "__fa"}),
+        "inner", parts, on=("a",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS).materialize()
+    j = j.join(
+        feats.rename_columns({"id": "b", "feat": "__fb"}),
+        "inner", parts, on=("b",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vals = [score_fn(pickle.loads(x), pickle.loads(y))
+                for x, y in zip(df["__fa"], df["__fb"])]
+        out = df.drop(columns=["__fa", "__fb"])
+        for name, idx in columns.items():
+            out[name] = [v[idx] for v in vals]
+        return out
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def verify_pairs(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    feature_fn,
+    score_fn,
+    columns: dict,
+    *,
+    broadcast_limit: int = 25_000,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Distributed pair verification with a dual shape by candidate-doc
+    count (the ``drop_component_losers`` broadcast-vs-semi-join pattern
+    applied to feature maps):
+
+    - ≤ ``broadcast_limit`` candidate docs: gather the feature map once
+      (:func:`gather_doc_features` — distributed compute, O(candidates)
+      driver dict) and broadcast it via ``ray.put`` — cheapest at
+      verification scale, one corpus scan, no pair shuffle.
+    - above: :func:`score_pairs_joined` — no driver-resident feature or
+      id structure at all; features attach to pairs through
+      hash-partitioned joins.  At web-corpus dup rates the candidate set
+      is O(corpus), so this is the only shape that survives 100 TB.
+
+    ``pairs`` should be materialized by the caller (both shapes consume
+    it more than once)."""
+    ids = pair_ids(pairs)
+    n_ids = ids.count()  # per-batch-unique upper bound
+    if n_ids > broadcast_limit:
+        return score_pairs_joined(pairs, docs, id_col, payload_col,
+                                  feature_fn, score_fn, columns,
+                                  num_partitions=num_partitions)
+    import pickle
+
+    id_set = set(ids.to_pandas()["id"])
+    fref = ray.put(gather_doc_features(docs, id_col, payload_col,
+                                       id_set, feature_fn))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cache = score.__dict__
+        if "f" not in cache:
+            cache["f"] = ray.get(fref)  # once per worker process
+        f = cache["f"]
+        vals = [score_fn(f[a], f[b]) for a, b in zip(df["a"], df["b"])]
+        out = df.copy()
+        for name, idx in columns.items():
+            out[name] = [v[idx] for v in vals]
+        return out
+
+    return pairs.map_batches(score, batch_format="pandas")
 
 
 def postings_pairs(keys: np.ndarray, ids: np.ndarray, *, cap: int,
@@ -337,7 +527,7 @@ class MinHashBands:
     """
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
-                 bands: int = 32, shingle_k: int = 5):
+                 bands: int = 32, shingle_k: int = 5, feature_fn=None):
         assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
@@ -345,9 +535,14 @@ class MinHashBands:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        # feature_fn: text -> uint64 hash set.  Default char shingles;
+        # pass word-ngram hashes to make the LSH S-curve apply to the
+        # metric the verify phase actually scores (metric-matched LSH).
+        self.feature_fn = feature_fn or (
+            lambda t: char_shingle_hashes(t, self.shingle_k))
 
     def signature(self, text: str) -> np.ndarray:
-        return self.hasher.signature(char_shingle_hashes(text, self.shingle_k))
+        return self.hasher.signature(self.feature_fn(text))
 
     def band_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(ids, (n, bands) int64 band-hash matrix) — band folding is
@@ -359,7 +554,7 @@ class MinHashBands:
         if n == 0:
             return ids, np.empty((0, self.bands), dtype=np.int64)
         sigs = self.hasher.signatures(
-            [char_shingle_hashes(t or "", self.shingle_k) for t in texts])
+            [self.feature_fn(t or "") for t in texts])
         S = sigs.reshape(n, self.bands, self.rows_per_band)
         gold = np.uint64(0x9E3779B97F4A7C15)
         acc = np.zeros((n, self.bands), dtype=np.uint64)
@@ -436,6 +631,83 @@ def minhash_candidate_pairs(
     if allp.empty or "a" not in allp.columns:
         return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
     return allp.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+
+def minhash_candidate_pairs_ds(
+    docs: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 128,
+    threshold: Optional[float] = None,
+    bands: Optional[int] = None,
+    shingle_k: int = 5,
+    feature_fn=None,
+    num_buckets: int = 16,
+    max_bucket: int = 64,
+    min_shared_bands: int = 1,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs as a DATASET of (a, b, bands) — the
+    driver-flat sibling of :func:`minhash_candidate_pairs` for corpora
+    where candidates are O(corpus): per-reducer pairs carry their in-
+    bucket band-hit counts, the cross-bucket merge is one ``grouped_sums``
+    blob exchange keyed by (a, b) (never a driver ``drop_duplicates``),
+    and ``bands`` sums to the pair's total LSH band agreements.
+
+    ``min_shared_bands`` ≥ 2 is a principled candidate prune for low
+    thresholds, where the S-curve's tail floods the verify phase with
+    background collisions: a pair at similarity s matches a band with
+    p = s^r, so requiring ≥ 2 of b band hits keeps
+    1 − (1−p)^b − b·p·(1−p)^(b−1) of pairs — at r=4/b=32 that is ~0.93
+    at s=0.6 but only ~0.08 at s=0.35, a ~12× background cut for ~7%
+    marginal-recall cost (LSH candidates can already only MISS).
+    ``threshold`` (when given) derives the banding via
+    :func:`pick_lsh_bands`."""
+    if bands is None:
+        bands = (pick_lsh_bands(num_perm, threshold)
+                 if threshold is not None else 32)
+    import pickle
+
+    stage = MinHashBands(text_col, id_col, num_perm, bands, shingle_k,
+                         feature_fn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, bh = stage.band_hashes(batch)
+        out_k, out_blob = [], []
+        for b in range(bands):
+            col = bh[:, b]
+            buckets = col % num_buckets
+            for bb in np.unique(buckets):
+                m = buckets == bb
+                out_k.append(int(b * num_buckets + bb))
+                out_blob.append(pickle.dumps((col[m], ids[m])))
+        return pa.table({"k": pa.array(out_k, pa.int64()),
+                         "blob": pa.array(out_blob, pa.binary())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        parts = [pickle.loads(x) for x in g["blob"]]
+        out, dropped = postings_pairs(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            cap=max_bucket, overflow="truncate")
+        if dropped:  # no silent caps: surface truncated candidate mass
+            logging.getLogger(__name__).warning(
+                "minhash LSH bucket cap (%d) dropped %d docs from oversized "
+                "buckets — near-dup recall is reduced for those",
+                max_bucket, dropped)
+        return out.rename(columns={"shared": "bands"})[["a", "b", "bands"]]
+
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+    per_bucket = (docs.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+                  .groupby("k").map_groups(pairs, batch_format="pandas"))
+    merged = grouped_sums(per_bucket, ["a", "b"], ["bands"])
+    return merged.map_batches(
+        lambda df: df[df["bands"] >= min_shared_bands][["a", "b", "bands"]],
+        batch_format="pandas")
 
 
 def pick_lsh_bands(num_perm: int, threshold: float,

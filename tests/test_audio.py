@@ -201,6 +201,23 @@ class TestAudioFingerprint:
             assert b not in kept
         assert len(kept) < len(ids)
 
+    def test_join_verify_path_matches_broadcast_path(self, ray_session):
+        """audio_fingerprint_pairs' verify is shape-agnostic: forcing the
+        hash-join feature attach (broadcast_limit=0 — zero driver-resident
+        fingerprint map) must reproduce the broadcast verify exactly."""
+        import pandas as pd
+
+        from anomaly_detection_ray.pipelines.audioops import _clips_dups_ds
+        from anomaly_detection_ray.pipelines.audioops import audio_fingerprint_pairs
+
+        def run(**kw):
+            out = (audio_fingerprint_pairs(_clips_dups_ds("/root/testdata/sf0.001"),
+                                           **kw).to_pandas()
+                   .sort_values(["a", "b"]).reset_index(drop=True))
+            return out[["a", "b", "shared", "overlap"]]
+
+        pd.testing.assert_frame_equal(run(), run(broadcast_limit=0))
+
 
 class TestAudioSimilaritySearch:
     def test_transcode_twin_ranks_first_on_rich_signals(self, ray_session):

@@ -165,6 +165,18 @@ class TestNgramJaccardExactAnchor:
         merged = lsh.merge(exact, on=["a", "b"], suffixes=("_lsh", "_ex"))
         assert np.allclose(merged["ngram_jaccard_lsh"], merged["ngram_jaccard_ex"])
 
+    def test_join_verify_path_matches_broadcast_path(self, ray_session):
+        """verify_pairs' two shapes are interchangeable: broadcast_limit=0
+        forces the hash-join feature attach (no driver-resident feature
+        map or id set at all) and must reproduce the broadcast result
+        bit-for-bit — same pairs, same scores."""
+        from anomaly_detection_ray.pipelines.textops import ngram_jaccard_dups
+
+        sf = "/root/testdata/sf0.001"
+        bcast = ngram_jaccard_dups(sf)
+        joined = ngram_jaccard_dups(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(bcast, joined)
+
 
 class TestNearDupCollapse:
     def test_union_find_chain_and_singletons(self):

@@ -12,10 +12,10 @@ Shape (same as the winnowing text pipeline, pipelines/textops.py):
 fused decode+fingerprint partial (bytes DIE in the stage — only
 (fingerprint, clip_id) pairs shuffle, packed per bucket as blobs) →
 inverted-index reducers count shared fingerprints per pair → exact
-overlap verify on candidates via a second semi-filtered decode scan
-(``gather_doc_features``) + a distributed pair-score map
-(``score_pairs``).  Corrupt payloads funnel out silently here (they are
-the decode suite's job to report, stages/decode.py)."""
+overlap verify on candidates via a second decode scan with a dual-shape
+feature attach (broadcast under the candidate limit, hash-partitioned
+joins above — ``verify_pairs``).  Corrupt payloads funnel out silently
+here (they are the decode suite's job to report, stages/decode.py)."""
 
 from __future__ import annotations
 

@@ -681,28 +681,30 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
                 max_docs_per_fp, dropped)
         return out
 
+    empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
     per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
-                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas")
-                  .to_pandas())
-    if per_bucket.empty or "a" not in per_bucket.columns:
-        return pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
-    cand = (per_bucket.groupby(["a", "b"], as_index=False)["shared"].sum())
-    cand = cand[cand["shared"] >= min_shared]
-    if cand.empty:
-        return pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
-    # exact verify, distributed: candidate fingerprints via a semi-filtered
-    # task scan, pair overlap as a map over the pair dataset (the corpus
-    # never streams through the driver — VERDICT r1 #3)
-    from anomaly_detection_ray.stages.dedup import gather_doc_features, score_pairs
-
-    fmap = gather_doc_features(ds, "doc_id", "text",
-                               set(cand["a"]) | set(cand["b"]),
-                               winnow_fingerprints)
+                  .groupby("bucket").map_groups(shared_counts, batch_format="pandas"))
+    # cross-bucket shared-count merge: one blob exchange keyed by (a, b) —
+    # candidates never land on the driver (same shape as the audio family)
+    cand = (grouped_sums(per_bucket, ["a", "b"], ["shared"])
+            .map_batches(lambda df: df[df["shared"] >= min_shared]
+                         [["a", "b", "shared"]],
+                         batch_format="pandas").materialize())
+    if cand.count() == 0:
+        return empty
+    # exact verify, distributed: dual-shape feature attach (broadcast under
+    # the candidate limit, hash-partitioned joins above — verify_pairs)
+    from anomaly_detection_ray.stages.dedup import verify_pairs
 
     def overlap(fa, fb):
         return (round(len(np.intersect1d(fa, fb)) / max(min(fa.size, fb.size), 1), 4),)
 
-    scored = score_pairs(cand, fmap, overlap, {"overlap": 0})
-    out = cand.merge(scored, on=["a", "b"])
-    out = out[out["overlap"] >= min_overlap]
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    scored = verify_pairs(cand, ds, "doc_id", "text", winnow_fingerprints,
+                          overlap, {"overlap": 0})
+    out = (scored.map_batches(
+        lambda df: df[df["overlap"] >= min_overlap],
+        batch_format="pandas").to_pandas())
+    if out.empty:
+        return empty
+    return (out[["a", "b", "shared", "overlap"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))

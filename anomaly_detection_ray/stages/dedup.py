@@ -196,31 +196,6 @@ def _pair_dataset(cand: pd.DataFrame, rows_per_block: int = 50_000) -> ray.data.
         [cand.iloc[i::n_blocks] for i in range(n_blocks)] if n_blocks > 1 else cand)
 
 
-def score_pairs(cand: pd.DataFrame, fmap: dict, score_fn,
-                columns: dict) -> pd.DataFrame:
-    """Score candidate pairs as a DISTRIBUTED map over the pair dataset:
-    the candidate-doc feature map is broadcast once (``ray.put``) and each
-    pair batch computes ``score_fn(feat_a, feat_b) -> tuple`` vectorized-
-    per-batch.  ``columns`` maps output column name → tuple index.  The
-    driver never loops over pairs; at 10^12-doc scale the pair set simply
-    becomes more blocks."""
-    fref = ray.put(fmap)
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        cache = score.__dict__
-        if "f" not in cache:
-            cache["f"] = ray.get(fref)
-        f = cache["f"]
-        vals = [score_fn(f[a], f[b]) for a, b in zip(df["a"], df["b"])]
-        out = df[["a", "b"]].copy()
-        for name, idx in columns.items():
-            out[name] = [v[idx] for v in vals]
-        return out
-
-    return (_pair_dataset(cand[["a", "b"]])
-            .map_batches(score, batch_format="pandas").to_pandas())
-
-
 def pair_ids(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """One ``id`` column of the docs referenced by a pair Dataset —
     per-batch unique (cross-batch duplicates are fine for every consumer:
@@ -483,34 +458,6 @@ def postings_pairs(keys: np.ndarray, ids: np.ndarray, *, cap: int,
     return out, overflow_units
 
 
-def estimate_pairs_from_signatures(cand: pd.DataFrame, sig_map: dict,
-                                   out_col: str = "est_jaccard") -> pd.DataFrame:
-    """Vectorized signature-agreement estimate for every candidate pair.
-
-    The signatures are broadcast ONCE as a contiguous (n_docs, num_perm)
-    matrix + id→row dict; each pair batch computes
-    ``mean(S[row_a] == S[row_b], axis=1)`` in one numpy kernel — no
-    per-pair Python.  This is the cheap first verify phase: exact shingle
-    Jaccard is only worth computing for pairs that survive this filter."""
-    ids = list(sig_map)
-    S = np.stack([sig_map[i] for i in ids]) if ids else np.empty((0, 1))
-    ref = ray.put(({i: r for r, i in enumerate(ids)}, S))
-
-    def est(df: pd.DataFrame) -> pd.DataFrame:
-        cache = est.__dict__
-        if "m" not in cache:
-            cache["m"] = ray.get(ref)
-        idx, mat = cache["m"]
-        ia = np.fromiter((idx[a] for a in df["a"]), dtype=np.int64, count=len(df))
-        ib = np.fromiter((idx[b] for b in df["b"]), dtype=np.int64, count=len(df))
-        out = df[["a", "b"]].copy()
-        out[out_col] = np.round((mat[ia] == mat[ib]).mean(axis=1), 6)
-        return out
-
-    return (_pair_dataset(cand[["a", "b"]])
-            .map_batches(est, batch_format="pandas").to_pandas())
-
-
 # ---------------------------------------------------------------------------
 # MinHash-LSH
 # ---------------------------------------------------------------------------
@@ -573,64 +520,6 @@ class MinHashBands:
                 "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
-
-
-def minhash_candidate_pairs(
-    docs: ray.data.Dataset,
-    text_col: str,
-    id_col: str,
-    *,
-    num_perm: int = 128,
-    bands: int = 32,
-    shingle_k: int = 5,
-    concurrency: int | None = 4,
-    num_buckets: int = 16,
-    max_bucket: int = 64,
-) -> pd.DataFrame:
-    """Distinct candidate near-dup pairs (a < b) via banded MinHash-LSH.
-
-    One shuffle: each block ships, per (band, hash-bucket), a packed blob
-    of its (band_hash, doc_id) pairs; reducers group by exact band hash
-    and emit pairs.  Raw band rows (docs × bands of them) never become
-    shuffle rows (Ray sort-aggregate ≈30µs/row — stages/fused.py), and
-    the multi-band pair dedup is a driver-side drop_duplicates because
-    the candidate set is small by construction."""
-    import pickle
-
-    stage = MinHashBands(text_col, id_col, num_perm, bands, shingle_k)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids, bh = stage.band_hashes(batch)
-        out_k, out_blob = [], []
-        for b in range(bands):
-            col = bh[:, b]
-            buckets = col % num_buckets
-            for bb in np.unique(buckets):
-                m = buckets == bb
-                out_k.append(int(b * num_buckets + bb))
-                out_blob.append(pickle.dumps((col[m], ids[m])))
-        return pa.table({"k": pa.array(out_k, pa.int64()),
-                         "blob": pa.array(out_blob, pa.binary())})
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        import logging
-
-        parts = [pickle.loads(x) for x in g["blob"]]
-        out, dropped = postings_pairs(
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            cap=max_bucket, overflow="truncate")
-        if dropped:  # no silent caps: surface truncated candidate mass
-            logging.getLogger(__name__).warning(
-                "minhash LSH bucket cap (%d) dropped %d docs from oversized "
-                "buckets — near-dup recall is reduced for those", max_bucket, dropped)
-        return out[["a", "b"]]
-
-    allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby("k").map_groups(pairs, batch_format="pandas").to_pandas())
-    if allp.empty or "a" not in allp.columns:
-        return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-    return allp.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
 
 def minhash_candidate_pairs_ds(
@@ -745,48 +634,51 @@ def minhash_near_duplicates(
     bands: int | None = None,
     shingle_k: int = 5,
     exact_verify: bool = True,
+    broadcast_limit: int = 25_000,
 ) -> pd.DataFrame:
     """Near-dup pairs with estimated (and optionally exact n-gram) Jaccard
     ≥ threshold.  ``bands=None`` derives the banding from the threshold
     (``pick_lsh_bands``) so the candidate set stays O(true near-dups)
     instead of O(background collisions).
 
-    Verification is fully distributed and two-phase: (1) signatures of the
-    candidate docs are recomputed inside a semi-filtered task scan
-    (``gather_doc_features`` — the corpus never streams through the
-    driver) and every pair gets a VECTORIZED signature-agreement estimate
-    (``estimate_pairs_from_signatures``); (2) exact shingle Jaccard runs
-    only for the estimate's survivors, with shingle sets gathered only for
-    the surviving docs.  Per-pair Python cost is paid on O(near-dups),
-    never on O(candidates)."""
+    Verification is fully distributed and two-phase over the candidate
+    pair DATASET (never a driver pandas): (1) every pair gets a
+    signature-agreement estimate (unbiased for shingle Jaccard); (2)
+    exact shingle Jaccard runs only for the estimate's survivors.  Both
+    phases go through :func:`verify_pairs`, so feature maps broadcast
+    only under ``broadcast_limit`` candidate docs and attach via
+    hash-partitioned joins above it — no driver structure grows with the
+    corpus; only the O(true near-dups) OUTPUT is collected."""
     if bands is None:
         bands = pick_lsh_bands(num_perm, threshold)
-    cand = minhash_candidate_pairs(
-        docs, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    )
     empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "jaccard": []})
-    if cand.empty:
+    cand = minhash_candidate_pairs_ds(
+        docs, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k).materialize()
+    if cand.count() == 0:
         return empty
     mh = MinHashBands(text_col, id_col, num_perm, bands, shingle_k)
-    sig_map = gather_doc_features(
-        docs, id_col, text_col, set(cand["a"]) | set(cand["b"]),
-        lambda t: mh.signature(t),
-    )
-    est = estimate_pairs_from_signatures(cand, sig_map)
-    est = est[est["est_jaccard"] >= threshold * 0.8]
-    if est.empty:
+    est = verify_pairs(
+        cand, docs, id_col, text_col, lambda t: mh.signature(t),
+        lambda fa, fb: (float(np.round(np.mean(fa == fb), 6)),),
+        {"est_jaccard": 0}, broadcast_limit=broadcast_limit)
+    est = est.map_batches(
+        lambda df: df[df["est_jaccard"] >= threshold * 0.8]
+        [["a", "b", "est_jaccard"]],
+        batch_format="pandas").materialize()
+    if est.count() == 0:
         return empty
-    shingles = gather_doc_features(
-        docs, id_col, text_col, set(est["a"]) | set(est["b"]),
+    scored = verify_pairs(
+        est, docs, id_col, text_col,
         lambda t: char_shingle_hashes(t, shingle_k),
-    )
-    scored = score_pairs(est, shingles,
-                         lambda fa, fb: (round(jaccard(fa, fb), 6),),
-                         {"jaccard": 0})
-    scored = est.merge(scored, on=["a", "b"])
+        lambda fa, fb: (round(jaccard(fa, fb), 6),),
+        {"jaccard": 0}, broadcast_limit=broadcast_limit).to_pandas()
+    if scored.empty:
+        return empty
     if exact_verify:
         scored = scored[scored["jaccard"] >= threshold]
-    return scored.sort_values(["a", "b"]).reset_index(drop=True)
+    return (scored[["a", "b", "est_jaccard", "jaccard"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 def union_find_components(pairs: pd.DataFrame, a_col: str = "a",

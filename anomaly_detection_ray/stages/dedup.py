@@ -54,7 +54,8 @@ def add_content_hash(ds: ray.data.Dataset, cols: Sequence[str]) -> ray.data.Data
 
 
 def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
-                num_buckets: int = 32) -> ray.data.Dataset:
+                num_buckets: int = 32,
+                broadcast_limit: int = 1_000_000) -> ray.data.Dataset:
     """Keep the row with the smallest ``keep_col`` per content hash
     (deterministic winner; reference pattern A6 latest-per-key inverted).
 
@@ -62,15 +63,17 @@ def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
     per block and shipped as pickled per-bucket blobs — document payloads
     never enter an all-to-all (Ray's sort-aggregate costs ~30µs/shuffled
     row, stages/fused.py).  The reducers emit winners for DUPLICATED
-    hashes only; those (few) winners are broadcast once (``ray.put``) and
-    kept rows are recovered with a vectorized searchsorted filter over the
-    original dataset — a row with a unique content hash passes untouched.
+    hashes only, and the kept-row recovery is dual-shape by winner count:
 
-    Partitioning assumption: the duplicate-group winner table is
-    O(duplicate groups) — tiny for real corpora (dup rate ≪ 1).  For a
-    pathologically duplicate-heavy corpus, swap the broadcast for a
-    hash-partitioned semi-join of (content_hash, keep_col) against the
-    winner set (same blob machinery, one more shuffle of key pairs only).
+    - ≤ ``broadcast_limit`` duplicate groups (real corpora, dup rate ≪ 1):
+      winners broadcast once (``ray.put``) and each batch keeps rows with
+      a vectorized searchsorted filter — rows with unique hashes pass
+      untouched, zero extra shuffle.
+    - above (pathological duplicate-heavy corpus): NO driver-resident
+      winner structure — the corpus LEFT-OUTER joins the winner Dataset
+      on content hash and keeps rows whose hash has no winner (unique)
+      or whose ``keep_col`` equals it.  One corpus shuffle, the
+      documented cost of that regime.
 
     Assumes ``keep_col`` values are unique per row (an id column): ties on
     (hash, keep_col) would keep both rows.
@@ -99,9 +102,14 @@ def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
                                                   cnt=("cnt", "sum"))
         return gg[gg["cnt"] > 1][["h", "mn"]]
 
-    winners = (ds.map_batches(key_partial, batch_format="pyarrow", batch_size=None)
-               .groupby("bucket").map_groups(dup_winners, batch_format="pandas")
-               .to_pandas())
+    winners_ds = (ds.map_batches(key_partial, batch_format="pyarrow",
+                                 batch_size=None)
+                  .groupby("bucket").map_groups(dup_winners,
+                                                batch_format="pandas")
+                  .materialize())
+    if winners_ds.count() > broadcast_limit:
+        return _exact_dedup_joined(ds, cols, keep_col, winners_ds)
+    winners = winners_ds.to_pandas()
     if winners.empty or "h" not in winners.columns:
         dup_h = np.empty(0, dtype=np.int64)
         dup_k = np.empty(0, dtype=object)
@@ -126,6 +134,38 @@ def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep_filter, batch_format="pyarrow")
+
+
+def _exact_dedup_joined(ds: ray.data.Dataset, cols: Sequence[str],
+                        keep_col: str,
+                        winners_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """exact_dedup's no-driver-structure shape: LEFT-OUTER join the
+    corpus with the duplicate-group winner Dataset on content hash, keep
+    rows whose hash has no winner row (unique content) or whose
+    ``keep_col`` equals the winner."""
+    from anomaly_detection_ray.functions.hashing import combine_columns
+
+    original = [n for n in ds.schema().names]
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        h = combine_columns(*[batch[c] for c in cols]).astype(np.int64)
+        return batch.append_column("__h", pa.array(h))
+
+    hashed = ds.map_batches(with_hash, batch_format="pyarrow",
+                            batch_size=65536)
+    winners = (winners_ds
+               .map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=65536)
+               .rename_columns({"h": "__h", "mn": "__mn"}))
+    j = hashed.join(winners, "left_outer", _join_partitions(None),
+                    on=("__h",), right_on=("__h",),
+                    aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df["__mn"].isna() | (df[keep_col] == df["__mn"])
+        return df.loc[mask, original]
+
+    return j.map_batches(keep, batch_format="pandas")
 
 
 def duplicate_key_counts(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:

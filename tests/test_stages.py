@@ -105,6 +105,21 @@ class TestDedup:
         kept = exact_dedup(ds, ["text"], "id").to_pandas().sort_values("id")
         assert kept["id"].tolist() == list(range(8))  # min id per group
 
+    def test_exact_dedup_join_shape_matches_broadcast(self):
+        # pathological dup-rate shape: broadcast_limit=0 forces the
+        # left-outer-join winner recovery (no driver-resident winner
+        # arrays) — must keep exactly the same rows
+        df = pd.DataFrame({
+            "id": range(40),
+            "text": [f"t{i % 8}" for i in range(40)],
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        bcast = (exact_dedup(ds, ["text"], "id")
+                 .to_pandas().sort_values("id").reset_index(drop=True))
+        joined = (exact_dedup(ds, ["text"], "id", broadcast_limit=0)
+                  .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(bcast, joined)
+
     def test_duplicate_key_counts(self):
         ds = rd.from_items([{"k": "a"}, {"k": "a"}, {"k": "b"}, {"k": "c"}, {"k": "c"}, {"k": "c"}])
         out = duplicate_key_counts(ds, "k").to_pandas().sort_values("k")

@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "ngram_jaccard_exact": textops.ngram_jaccard_exact,
         "near_dup_dedup_exact": textops.near_dup_dedup_exact,
+        "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
+        "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
         # vectors (oracled)
         "embedding_topk": vectors.embedding_topk,
         "knn_exact_label_counts": vectors.knn_exact_label_counts,
@@ -417,6 +419,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE root <> node)
             ORDER BY d.doc_id
+        """,
+        # component-size histogram over the same recursive-CTE components
+        # (comp holds EVERY member node incl. the root, so count(*) per
+        # root is the full cluster size; unpaired docs form no component)
+        "near_dup_cluster_sizes": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            pairs AS ({_NGRAM_PAIR_SELECT}),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, m) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node, min(m) AS root FROM reach GROUP BY node),
+            csz AS (SELECT root, count(*) AS cluster_size
+                    FROM comp GROUP BY root)
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM csz GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        # same tokenization/gram CTEs as the pair oracles; doc-frequency
+        # is distinct-per-doc by the grams CTE's DISTINCT, and the
+        # (doc_freq DESC, gram ASC) total order makes the LIMIT cut
+        # deterministic
+        "top_ngrams_by_doc_freq": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            positions AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, greatest(len(ws) - 2,
+                                    CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1)) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                            ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       END AS gram
+                FROM positions
+            )
+            SELECT gram, count(*) AS doc_freq
+            FROM grams GROUP BY gram
+            ORDER BY doc_freq DESC, gram LIMIT 20
         """,
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS distinct_user_id FROM events

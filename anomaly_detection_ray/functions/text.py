@@ -165,6 +165,20 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_char_kgram_hashes(text, k))
 
 
+def word_ngram_strings(text: str, n: int = 3) -> set:
+    """Distinct word n-gram STRINGS of one document — the unhashed sibling
+    of :func:`word_ngram_hashes` for operators whose output must carry the
+    grams themselves (top-ngram tables).  Token/gram construction matches
+    the DuckDB oracle CTE exactly (split on \\s+ of the trimmed text;
+    shorter-than-n docs yield their full join as one gram)."""
+    ws = [w for w in _WS.split((text or "").strip()) if w]
+    if not ws:
+        return set()
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
     """Hashed word n-gram set of ONE document (sorted-unique uint64)."""
     ws = [w for w in _WS.split((text or "").strip()) if w]

@@ -616,6 +616,74 @@ def near_dup_dedup_exact(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.
     return _collapse_pairs(sf_dir, ngram_jaccard_exact(sf_dir, threshold, n))
 
 
+def near_dup_cluster_sizes(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.DataFrame:
+    """Dedup analytics: (cluster_size, n_clusters) histogram of near-dup
+    component sizes over the exact word-n-gram pair set — what a curation
+    run reports before deciding collapse policy (how much mass sits in
+    big boilerplate clusters vs scattered twins).  Components come from
+    the distributed star-contraction collapse (stages/dedup.py:
+    components_losers — O(1) driver state); per-root loser counts and the
+    final size histogram are each one ``grouped_sums`` blob exchange.
+    Clusters are size ≥ 2 by construction (unpaired docs are not
+    components).  DuckDB-oracled via the recursive-CTE min-label
+    propagation the collapse itself is anchored to."""
+    from anomaly_detection_ray.stages.dedup import components_losers
+
+    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                          "n_clusters": pd.Series(dtype="int64")})
+    pairs = ngram_jaccard_exact(sf_dir, threshold, n)
+    if pairs.empty:
+        return empty
+    losers = components_losers(pairs)
+    per_root = grouped_sums(losers, ["root"], [])
+    hist = per_root.map_batches(
+        lambda df: pd.DataFrame(
+            {"cluster_size": (df["__cnt__"] + 1).astype("int64")}),
+        batch_format="pandas")
+    out = grouped_sums(hist, ["cluster_size"], []).to_pandas()
+    if out.empty:
+        return empty
+    out = out.rename(columns={"__cnt__": "n_clusters"})
+    return (out[["cluster_size", "n_clusters"]].astype("int64")
+            .sort_values("cluster_size").reset_index(drop=True))
+
+
+def top_ngrams_by_doc_freq(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide boilerplate detector primitive: the ``k`` word-n-grams
+    contained in the most documents (doc-frequency, distinct per doc),
+    total-ordered by (doc_freq DESC, gram ASC) so the cut is
+    deterministic.  Per-block gram counts merge through one
+    ``grouped_sums`` blob exchange keyed by the gram STRING — a gram
+    lands in exactly one reducer bucket, so each merged block's local
+    top-k is globally sufficient and the driver only ever sees
+    O(k × buckets) rows."""
+    from anomaly_detection_ray.functions.text import word_ngram_strings
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(word_ngram_strings(t, n))
+        return pd.DataFrame({
+            "gram": list(c.keys()),
+            "doc_freq": np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    counts = grouped_sums(ds.map_batches(partial, batch_format="pandas"),
+                          ["gram"], ["doc_freq"])
+    local = counts.map_batches(
+        lambda df: df.sort_values(["doc_freq", "gram"],
+                                  ascending=[False, True])
+        .head(k)[["gram", "doc_freq"]],
+        batch_format="pandas", batch_size=None)
+    out = local.to_pandas()
+    out = (out.sort_values(["doc_freq", "gram"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out.astype({"doc_freq": "int64"})[["gram", "doc_freq"]]
+
+
 def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
     synthetic near-dup corpus in tests/test_dedup.py)."""

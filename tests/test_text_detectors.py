@@ -177,6 +177,49 @@ class TestNgramJaccardExactAnchor:
         joined = ngram_jaccard_dups(sf, broadcast_limit=0)
         pd.testing.assert_frame_equal(bcast, joined)
 
+    def test_cluster_size_histogram_matches_union_find(self, ray_session):
+        """near_dup_cluster_sizes (distributed collapse + two blob
+        exchanges) == the size histogram of the single-machine union-find
+        reference over the same exact pair set."""
+        from collections import Counter
+
+        from anomaly_detection_ray.pipelines.textops import (
+            near_dup_cluster_sizes,
+            ngram_jaccard_exact,
+        )
+        from anomaly_detection_ray.stages.dedup import union_find_components
+
+        sf = "/root/testdata/sf0.001"
+        got = near_dup_cluster_sizes(sf)
+        comp = union_find_components(ngram_jaccard_exact(sf))
+        sizes = Counter(Counter(comp.values()).values())
+        want = (pd.DataFrame(sorted(sizes.items()),
+                             columns=["cluster_size", "n_clusters"])
+                .astype("int64"))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_top_ngrams_finds_planted_boilerplate(self, ray_session, tmp_path, monkeypatch):
+        """A boilerplate sentence shared by most docs must own the top
+        doc-frequency slots; doc-frequency is distinct-per-doc (a doc
+        repeating the sentence counts once)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.textops import top_ngrams_by_doc_freq
+
+        boiler = "subscribe to our newsletter today"
+        texts = [f"{boiler} unique body {i} {boiler}" for i in range(30)]
+        texts += ["plain document number one content", None, ""]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        d = tmp_path / "sfdir"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = top_ngrams_by_doc_freq(str(d), k=5)
+        assert (out["doc_freq"].head(5) == 30).all()  # boilerplate owns top-5
+        hit = out[out["gram"] == "subscribe to our"]
+        assert len(hit) == 1 and hit["doc_freq"].iloc[0] == 30  # distinct/doc
+
 
 class TestNearDupCollapse:
     def test_union_find_chain_and_singletons(self):

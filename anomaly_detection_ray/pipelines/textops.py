@@ -483,9 +483,12 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3, *,
        (stages/dedup.py:minhash_candidate_pairs_ds) — the old default
        char-shingle r=4 banding produced 5.5M candidate pairs from 50k
        docs (all-candidate corpus) and a 0.5 GB driver footprint;
-    2. vectorized one-perm signature-agreement estimate with a 0.8×
-       margin (unbiased for the verify metric, σ≈0.04 at 128 perms);
-    3. exact word-n-gram Jaccard on the estimate's survivors only.
+    2. ONE fused verify pass: a single corpus scan gathers
+       (signature, gram set) per candidate doc — the signature derives
+       from the same hash set, so grams hash once — then each pair is
+       estimated by one-perm signature agreement (unbiased for the
+       verify metric, σ≈0.04 at 128 perms, 0.8× margin) and exact
+       word-n-gram Jaccard runs ONLY for estimate survivors.
 
     Feature maps broadcast under ``broadcast_limit`` candidate docs and
     attach via hash-partitioned joins above it (verify_pairs) — no
@@ -504,29 +507,29 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3, *,
 
     empty = pd.DataFrame({"a": [], "b": [], "ngram_jaccard": []})
 
-    def feature(t):
+    def grams(t):
         return word_ngram_hashes(t, n)
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs_ds(
-        ds, "text", "doc_id", threshold=threshold, feature_fn=feature,
+        ds, "text", "doc_id", threshold=threshold, feature_fn=grams,
         min_shared_bands=min_shared_bands).materialize()
     if cand.count() == 0:
         return empty
     hasher = OnePermMinHasher(128)
-    est = verify_pairs(
-        cand, ds, "doc_id", "text",
-        lambda t: hasher.signature(feature(t)),
-        lambda fa, fb: (float(np.mean(fa == fb)),), {"est": 0},
-        broadcast_limit=broadcast_limit)
-    est = est.map_batches(
-        lambda df: df[df["est"] >= threshold * 0.8][["a", "b"]],
-        batch_format="pandas").materialize()
-    if est.count() == 0:
-        return empty
+    margin = threshold * 0.8
+
+    def feature(t):
+        g = grams(t)  # hashed once; the signature derives from it
+        return (hasher.signature(g), g)
+
+    def score(fa, fb):
+        if float(np.mean(fa[0] == fb[0])) < margin:
+            return (np.nan,)
+        return (round_half_up6(jaccard(fa[1], fb[1])),)
+
     scored = verify_pairs(
-        est, ds, "doc_id", "text", feature,
-        lambda fa, fb: (round_half_up6(jaccard(fa, fb)),),
+        cand, ds, "doc_id", "text", feature, score,
         {"ngram_jaccard": 0}, broadcast_limit=broadcast_limit)
     out = (scored.map_batches(
         lambda df: df[df["ngram_jaccard"] >= threshold],

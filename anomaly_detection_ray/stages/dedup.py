@@ -390,16 +390,17 @@ def verify_pairs(
       is O(corpus), so this is the only shape that survives 100 TB.
 
     ``pairs`` should be materialized by the caller (both shapes consume
-    it more than once)."""
-    ids = pair_ids(pairs)
-    n_ids = ids.count()  # per-batch-unique upper bound
-    if n_ids > broadcast_limit:
+    it more than once).  The gate reads ``pairs.count()`` — free block
+    metadata on a materialized input, where a distinct-id count would
+    cost an extra execution — so ``broadcast_limit`` bounds candidate
+    PAIRS; distinct docs are within 2× of it, the same order."""
+    if pairs.count() > broadcast_limit:
         return score_pairs_joined(pairs, docs, id_col, payload_col,
                                   feature_fn, score_fn, columns,
                                   num_partitions=num_partitions)
     import pickle
 
-    id_set = set(ids.to_pandas()["id"])
+    id_set = set(pair_ids(pairs).to_pandas()["id"])
     fref = ray.put(gather_doc_features(docs, id_col, payload_col,
                                        id_set, feature_fn))
 
@@ -681,14 +682,17 @@ def minhash_near_duplicates(
     (``pick_lsh_bands``) so the candidate set stays O(true near-dups)
     instead of O(background collisions).
 
-    Verification is fully distributed and two-phase over the candidate
-    pair DATASET (never a driver pandas): (1) every pair gets a
-    signature-agreement estimate (unbiased for shingle Jaccard); (2)
-    exact shingle Jaccard runs only for the estimate's survivors.  Both
-    phases go through :func:`verify_pairs`, so feature maps broadcast
-    only under ``broadcast_limit`` candidate docs and attach via
-    hash-partitioned joins above it — no driver structure grows with the
-    corpus; only the O(true near-dups) OUTPUT is collected."""
+    Verification is fully distributed and FUSED over the candidate pair
+    DATASET (never a driver pandas): one :func:`verify_pairs` pass
+    gathers (signature, shingle set) per candidate doc in a single
+    corpus scan, estimates signature agreement per pair (unbiased for
+    shingle Jaccard), and computes exact shingle Jaccard ONLY when the
+    estimate clears the 0.8× margin — per-pair exact cost is paid on
+    O(near-dups), one scan and one verify round instead of two of each.
+    Feature maps broadcast only under ``broadcast_limit`` candidate
+    pairs and attach via hash-partitioned joins above it — no driver
+    structure grows with the corpus; only the O(true near-dups) OUTPUT
+    is collected."""
     if bands is None:
         bands = pick_lsh_bands(num_perm, threshold)
     empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": [], "jaccard": []})
@@ -698,26 +702,30 @@ def minhash_near_duplicates(
     if cand.count() == 0:
         return empty
     mh = MinHashBands(text_col, id_col, num_perm, bands, shingle_k)
-    est = verify_pairs(
-        cand, docs, id_col, text_col, lambda t: mh.signature(t),
-        lambda fa, fb: (float(np.round(np.mean(fa == fb), 6)),),
-        {"est_jaccard": 0}, broadcast_limit=broadcast_limit)
-    est = est.map_batches(
-        lambda df: df[df["est_jaccard"] >= threshold * 0.8]
-        [["a", "b", "est_jaccard"]],
-        batch_format="pandas").materialize()
-    if est.count() == 0:
-        return empty
+    margin = threshold * 0.8
+
+    def feature(t):
+        sh = char_shingle_hashes(t, shingle_k)
+        return (mh.hasher.signature(sh), sh)
+
+    def score(fa, fb):
+        est = float(np.round(np.mean(fa[0] == fb[0]), 6))
+        if est < margin:
+            return (est, np.nan)
+        return (est, round(jaccard(fa[1], fb[1]), 6))
+
     scored = verify_pairs(
-        est, docs, id_col, text_col,
-        lambda t: char_shingle_hashes(t, shingle_k),
-        lambda fa, fb: (round(jaccard(fa, fb), 6),),
-        {"jaccard": 0}, broadcast_limit=broadcast_limit).to_pandas()
-    if scored.empty:
+        cand, docs, id_col, text_col, feature, score,
+        {"est_jaccard": 0, "jaccard": 1},
+        broadcast_limit=broadcast_limit)
+    out = scored.map_batches(
+        lambda df: df[df["est_jaccard"] >= margin],
+        batch_format="pandas").to_pandas()
+    if out.empty:
         return empty
     if exact_verify:
-        scored = scored[scored["jaccard"] >= threshold]
-    return (scored[["a", "b", "est_jaccard", "jaccard"]]
+        out = out[out["jaccard"] >= threshold]
+    return (out[["a", "b", "est_jaccard", "jaccard"]]
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 

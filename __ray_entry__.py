@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcode ground truth pinned by tests/test_audio.py)
         "audio_dup_pairs": audioops.audio_dup_pairs,
         "audio_dedup_clips": audioops.audio_dedup_clips,
+        "audio_cluster_sizes": audioops.audio_cluster_sizes,
         "audio_search": audioops.audio_search,
         "curated_clips": audioops.curated_clips,
         # freshness / completeness over synthetic ingest history

@@ -280,6 +280,37 @@ def audio_dup_pairs(sf_dir: str) -> pd.DataFrame:
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def audio_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Dedup analytics on the audio axis: (cluster_size, n_clusters)
+    histogram of fingerprint near-dup component sizes — how much of the
+    corpus sits in big self-similar clusters (silence, pure tones) vs
+    scattered transcode twins.  Same distributed shape as the text
+    sibling ``near_dup_cluster_sizes`` (star-contraction components +
+    two blob exchanges; rows-only — decode is not SQL-expressible, the
+    component logic is pinned against the union-find reference in
+    tests)."""
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+    from anomaly_detection_ray.stages.dedup import components_losers
+
+    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                          "n_clusters": pd.Series(dtype="int64")})
+    pairs = audio_fingerprint_pairs(_clips_dups_ds(sf_dir)).materialize()
+    if pairs.count() == 0:
+        return empty
+    losers = components_losers(pairs)
+    per_root = grouped_sums(losers, ["root"], [])
+    hist = per_root.map_batches(
+        lambda df: pd.DataFrame(
+            {"cluster_size": (df["__cnt__"] + 1).astype("int64")}),
+        batch_format="pandas")
+    out = grouped_sums(hist, ["cluster_size"], []).to_pandas()
+    if out.empty:
+        return empty
+    out = out.rename(columns={"__cnt__": "n_clusters"})
+    return (out[["cluster_size", "n_clusters"]].astype("int64")
+            .sort_values("cluster_size").reset_index(drop=True))
+
+
 def audio_search(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     """Query-by-example audio retrieval over the transcode-dup clips
     table: queries are the base twins of the first ``n_queries`` planted

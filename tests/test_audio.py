@@ -218,6 +218,31 @@ class TestAudioFingerprint:
 
         pd.testing.assert_frame_equal(run(), run(broadcast_limit=0))
 
+    def test_cluster_size_histogram_matches_union_find(self, ray_session):
+        """audio_cluster_sizes (distributed collapse + blob exchanges) ==
+        the size histogram of the single-machine union-find reference
+        over the same fingerprint pair set."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from anomaly_detection_ray.pipelines.audioops import (
+            _clips_dups_ds,
+            audio_cluster_sizes,
+            audio_fingerprint_pairs,
+        )
+        from anomaly_detection_ray.stages.dedup import union_find_components
+
+        sf = "/root/testdata/sf0.001"
+        got = audio_cluster_sizes(sf)
+        pairs = audio_fingerprint_pairs(_clips_dups_ds(sf)).to_pandas()
+        comp = union_find_components(pairs)
+        sizes = Counter(Counter(comp.values()).values())
+        want = (pd.DataFrame(sorted(sizes.items()),
+                             columns=["cluster_size", "n_clusters"])
+                .astype("int64"))
+        pd.testing.assert_frame_equal(got, want)
+
 
 class TestAudioSimilaritySearch:
     def test_transcode_twin_ranks_first_on_rich_signals(self, ray_session):

@@ -214,12 +214,16 @@ def run_audio(n_clips: int) -> dict:
 
     p = clips_dups_path(n_clips)
     out: dict = {"n_clips": n_clips}
-    with WorkerRssMonitor() as mon:
+    with WorkerRssMonitor() as mon, DriverRssMonitor() as pmon:
         t0 = time.perf_counter()
         pairs = audio_fingerprint_pairs(
             read_table(p, columns=["clip_id", "bytes"])).materialize()
         out["audio_dup_pairs"] = {"wall_s": round(time.perf_counter() - t0, 1),
-                                  "rows": int(pairs.count())}
+                                  "rows": int(pairs.count()),
+                                  "driver_rss_delta_mb": None,
+                                  "driver_rss_peak_mb": None}
+    out["audio_dup_pairs"]["driver_rss_delta_mb"] = pmon.delta_mb
+    out["audio_dup_pairs"]["driver_rss_peak_mb"] = pmon.peak_mb
     out["max_worker_rss_mb"] = round(_mb(mon.max_single), 0)
     # collapse phase on the already-materialized pair Dataset: driver RSS
     # must stay flat between 1x and 10x (pairs never land on the driver)

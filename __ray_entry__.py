@@ -108,7 +108,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_rate_documents": relational.null_rate_documents,
         "column_stats_lineitem": relational.column_stats_lineitem,
         "distinct_counts": relational.distinct_counts,
-        "distinct_users_exact": relational.distinct_users_exact,
         "customers_without_orders": relational.customers_without_orders,
         "top_customers": relational.top_customers,
         "revenue_by_orderstatus": relational.revenue_by_orderstatus,
@@ -138,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup_exact": textops.near_dup_dedup_exact,
         "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
         "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
+        "sequence_pack_manifest": textops.sequence_pack_manifest,
         # vectors (oracled)
         "embedding_topk": vectors.embedding_topk,
         "knn_exact_label_counts": vectors.knn_exact_label_counts,
@@ -155,6 +155,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
         "history_update_commits": lambda sf_dir: history.history_update_commits(),
         "history_windowed_commits": lambda sf_dir: history.history_windowed_commits(),
+        # 51st oracled entry: past the driver's 50-row correctness window
+        # (scripts/parity.py still verifies it); demoted here because its
+        # exact-distinct machinery is exercised in-window by
+        # distinct_counts, and hll_distinct_users' anchor survives via
+        # the parity harness
+        "distinct_users_exact": relational.distinct_users_exact,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
         "minhash_near_dups": textops.minhash_near_dups,
@@ -471,6 +477,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*) AS doc_freq
             FROM grams GROUP BY gram
             ORDER BY doc_freq DESC, gram LIMIT 20
+        """,
+        # distributed ordered prefix-scan twin: the window-function running
+        # sum IS the sequential spec the bucket-offset scan reproduces
+        "sequence_pack_manifest": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE ((tok_offset + n_tokens - 1) // 2048)
+                             - (tok_offset // 2048) + 1 END AS BIGINT)
+                       AS n_packs
+            FROM c ORDER BY doc_id
         """,
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS distinct_user_id FROM events

@@ -687,6 +687,67 @@ def top_ngrams_by_doc_freq(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame
     return out.astype({"doc_freq": "int64"})[["gram", "doc_freq"]]
 
 
+def sequence_pack_manifest(sf_dir: str, seq_len: int = 2048,
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """GPT-style concat-then-chunk sequence-packing manifest: documents
+    concatenate in doc_id order into one token stream cut into
+    ``seq_len`` chunks; each doc reports its whitespace token count, its
+    global token offset, the pack its first token lands in, and how many
+    packs it spans (0 for empty docs).  The manifest is what a training
+    job needs to locate any document inside the packed corpus.
+
+    This is a DISTRIBUTED ORDERED PREFIX-SCAN (the §2.10 ordered-state
+    pattern made scale-safe): doc_ids range-bucket into ``num_buckets``
+    contiguous id ranges, one ``grouped_sums`` pass ships O(buckets)
+    token totals to the driver for an exclusive scan, and a per-bucket
+    ``map_groups`` re-sorts its own id range and adds the broadcast
+    bucket offset to its local cumsum — token counts never concentrate
+    anywhere, and the only ordered state is the O(buckets) offset
+    vector.  At 100 TB the manifest itself would ``write_parquet``; the
+    DataFrame return is the driver-compare contract."""
+    from anomaly_detection_ray.functions.text import token_count_ws
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": token_count_ws(df["text"])})
+
+    tokens = ds.map_batches(toks, batch_format="pandas").materialize()
+    max_id = int(tokens.max("doc_id"))
+    width = max(max_id // num_buckets + 1, 1)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["bucket"] = (df["doc_id"] // width).astype("int64")
+        return out
+
+    bucketed = tokens.map_batches(with_bucket, batch_format="pandas")
+    totals = (grouped_sums(bucketed, ["bucket"], ["n_tokens"])
+              .to_pandas().sort_values("bucket"))
+    csum = np.concatenate([[0], np.cumsum(totals["n_tokens"].to_numpy())[:-1]])
+    offsets = ray.put(dict(zip(totals["bucket"].astype(int), csum.astype(np.int64))))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(offsets)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        first = off // seq_len
+        last = np.where(n > 0, (off + np.maximum(n, 1) - 1) // seq_len, first)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n,
+            "tok_offset": off,
+            "pack_id": first,
+            "n_packs": np.where(n > 0, last - first + 1, 0).astype(np.int64)})
+
+    out = (bucketed.groupby("bucket")
+           .map_groups(scan, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
     synthetic near-dup corpus in tests/test_dedup.py)."""

@@ -220,6 +220,39 @@ class TestNgramJaccardExactAnchor:
         hit = out[out["gram"] == "subscribe to our"]
         assert len(hit) == 1 and hit["doc_freq"].iloc[0] == 30  # distinct/doc
 
+    def test_pack_manifest_matches_sequential_scan(self, ray_session, tmp_path):
+        """The distributed bucket-offset prefix-scan == the sequential
+        cumsum spec, across bucket boundaries, empty/null docs, and docs
+        spanning multiple packs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from anomaly_detection_ray.pipelines.textops import sequence_pack_manifest
+
+        rng = np.random.default_rng(7)
+        texts = []
+        for i in range(300):
+            w = int(rng.integers(0, 23))  # 0-token docs included
+            texts.append(" ".join(f"w{j}" for j in range(w)) if w else
+                         (None if i % 7 == 0 else ""))
+        tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        d = tmp_path / "sfdir"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = sequence_pack_manifest(str(d), seq_len=7, num_buckets=16)
+        n = np.array([len([w for w in (t or "").split() if w]) for t in texts],
+                     dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        want = pd.DataFrame({
+            "doc_id": np.arange(300, dtype=np.int64),
+            "n_tokens": n,
+            "tok_offset": off,
+            "pack_id": off // 7,
+            "n_packs": np.where(n > 0, (off + np.maximum(n, 1) - 1) // 7
+                                - off // 7 + 1, 0).astype(np.int64)})
+        pd.testing.assert_frame_equal(got, want)
+
 
 class TestNearDupCollapse:
     def test_union_find_chain_and_singletons(self):

@@ -400,7 +400,10 @@ def verify_pairs(
                                   num_partitions=num_partitions)
     import pickle
 
-    id_set = set(pair_ids(pairs).to_pandas()["id"])
+    # the broadcast shape already accepts O(candidates) driver state, so
+    # deriving the id set from one small collect beats a pair_ids pass
+    cand_pd = pairs.to_pandas()
+    id_set = set(cand_pd["a"]) | set(cand_pd["b"])
     fref = ray.put(gather_doc_features(docs, id_col, payload_col,
                                        id_set, feature_fn))
 

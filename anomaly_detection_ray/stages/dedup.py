@@ -412,8 +412,13 @@ def verify_pairs(
         if "f" not in cache:
             cache["f"] = ray.get(fref)  # once per worker process
         f = cache["f"]
-        vals = [score_fn(f[a], f[b]) for a, b in zip(df["a"], df["b"])]
-        out = df.copy()
+        # pairs referencing ids absent from the corpus drop, matching the
+        # join shape's inner-join semantics (cannot happen for pairs
+        # generated FROM the corpus, but the shapes must agree for any
+        # caller)
+        m = [a in f and b in f for a, b in zip(df["a"], df["b"])]
+        out = df.loc[m].copy()
+        vals = [score_fn(f[a], f[b]) for a, b in zip(out["a"], out["b"])]
         for name, idx in columns.items():
             out[name] = [v[idx] for v in vals]
         return out

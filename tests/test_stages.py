@@ -120,6 +120,40 @@ class TestDedup:
                   .to_pandas().sort_values("id").reset_index(drop=True))
         pd.testing.assert_frame_equal(bcast, joined)
 
+    def test_verify_pairs_shapes_agree_on_adversarial_corpus(self):
+        """Property check on the two verify_pairs shapes: random corpus
+        WITH duplicate ids (the planted data-quality class — resolved by
+        the smallest-pickled-feature rule), plus pairs referencing ids
+        absent from the corpus (dropped by both shapes)."""
+        import numpy as np
+
+        from anomaly_detection_ray.stages.dedup import verify_pairs
+
+        rng = np.random.default_rng(11)
+        ids = list(range(40)) + [3, 7, 7, 19]  # duplicate ids, diff text
+        docs = pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": ["".join(rng.choice(list("abcd"), 12)) for _ in ids]})
+        a = rng.integers(0, 45, 60)  # ids 40-44 are absent from docs
+        b = rng.integers(0, 45, 60)
+        pairs_pd = pd.DataFrame({"a": a, "b": b})[a != b]
+        pairs = rd.from_pandas(pairs_pd).repartition(4).materialize()
+
+        def run(lim):
+            out = verify_pairs(
+                pairs, rd.from_pandas(docs).repartition(3), "doc_id",
+                "text", lambda t: set(t),
+                lambda fa, fb: (len(fa & fb),), {"shared_chars": 0},
+                broadcast_limit=lim)
+            return (out.to_pandas().drop_duplicates()
+                    .sort_values(["a", "b"]).reset_index(drop=True))
+
+        bcast, joined = run(10**9), run(0)
+        assert (bcast["a"] < 45).all() and len(bcast) > 0
+        assert not set(zip(bcast["a"], bcast["b"])) & {
+            (x, y) for x in range(40, 45) for y in range(45)}  # absent drop
+        pd.testing.assert_frame_equal(bcast, joined)
+
     def test_duplicate_key_counts(self):
         ds = rd.from_items([{"k": "a"}, {"k": "a"}, {"k": "b"}, {"k": "c"}, {"k": "c"}, {"k": "c"}])
         out = duplicate_key_counts(ds, "k").to_pandas().sort_values("k")

@@ -70,7 +70,8 @@ def audio_fingerprint_pairs(
     maps over the materialized candidate Dataset, and the returned pair
     Dataset feeds the star-contraction collapse without ever landing on
     the driver.  Verification features broadcast only under
-    ``broadcast_limit`` candidate clips; above it they attach to pairs
+    ``broadcast_limit`` candidate PAIRS (distinct clips are within 2× of
+    that); above it they attach to pairs
     through hash-partitioned joins (stages/dedup.py:verify_pairs), so NO
     driver structure grows with the corpus on the scale path.
 
@@ -289,26 +290,16 @@ def audio_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     two blob exchanges; rows-only — decode is not SQL-expressible, the
     component logic is pinned against the union-find reference in
     tests)."""
-    from anomaly_detection_ray.pipelines.relational import grouped_sums
-    from anomaly_detection_ray.stages.dedup import components_losers
+    from anomaly_detection_ray.stages.dedup import (
+        cluster_size_histogram,
+        components_losers,
+    )
 
-    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
-                          "n_clusters": pd.Series(dtype="int64")})
     pairs = audio_fingerprint_pairs(_clips_dups_ds(sf_dir)).materialize()
     if pairs.count() == 0:
-        return empty
-    losers = components_losers(pairs)
-    per_root = grouped_sums(losers, ["root"], [])
-    hist = per_root.map_batches(
-        lambda df: pd.DataFrame(
-            {"cluster_size": (df["__cnt__"] + 1).astype("int64")}),
-        batch_format="pandas")
-    out = grouped_sums(hist, ["cluster_size"], []).to_pandas()
-    if out.empty:
-        return empty
-    out = out.rename(columns={"__cnt__": "n_clusters"})
-    return (out[["cluster_size", "n_clusters"]].astype("int64")
-            .sort_values("cluster_size").reset_index(drop=True))
+        return pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                             "n_clusters": pd.Series(dtype="int64")})
+    return cluster_size_histogram(components_losers(pairs))
 
 
 def audio_search(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:

@@ -630,25 +630,16 @@ def near_dup_cluster_sizes(sf_dir: str, threshold: float = 0.6, n: int = 3) -> p
     Clusters are size ≥ 2 by construction (unpaired docs are not
     components).  DuckDB-oracled via the recursive-CTE min-label
     propagation the collapse itself is anchored to."""
-    from anomaly_detection_ray.stages.dedup import components_losers
+    from anomaly_detection_ray.stages.dedup import (
+        cluster_size_histogram,
+        components_losers,
+    )
 
-    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
-                          "n_clusters": pd.Series(dtype="int64")})
     pairs = ngram_jaccard_exact(sf_dir, threshold, n)
     if pairs.empty:
-        return empty
-    losers = components_losers(pairs)
-    per_root = grouped_sums(losers, ["root"], [])
-    hist = per_root.map_batches(
-        lambda df: pd.DataFrame(
-            {"cluster_size": (df["__cnt__"] + 1).astype("int64")}),
-        batch_format="pandas")
-    out = grouped_sums(hist, ["cluster_size"], []).to_pandas()
-    if out.empty:
-        return empty
-    out = out.rename(columns={"__cnt__": "n_clusters"})
-    return (out[["cluster_size", "n_clusters"]].astype("int64")
-            .sort_values("cluster_size").reset_index(drop=True))
+        return pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                             "n_clusters": pd.Series(dtype="int64")})
+    return cluster_size_histogram(components_losers(pairs))
 
 
 def top_ngrams_by_doc_freq(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame:
@@ -715,6 +706,10 @@ def sequence_pack_manifest(sf_dir: str, seq_len: int = 2048,
             "n_tokens": token_count_ws(df["text"])})
 
     tokens = ds.map_batches(toks, batch_format="pandas").materialize()
+    if tokens.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("doc_id", "n_tokens", "tok_offset",
+                              "pack_id", "n_packs")})
     max_id = int(tokens.max("doc_id"))
     width = max(max_id // num_buckets + 1, 1)
 

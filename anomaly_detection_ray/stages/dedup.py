@@ -161,11 +161,13 @@ def _exact_dedup_joined(ds: ray.data.Dataset, cols: Sequence[str],
                     on=("__h",), right_on=("__h",),
                     aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        mask = df["__mn"].isna() | (df[keep_col] == df["__mn"])
-        return df.loc[mask, original]
+    def keep(t: pa.Table) -> pa.Table:
+        # Arrow-side comparison: pandas would cast the null-bearing __mn
+        # to float64 and silently collide int64 ids at >= 2^53
+        mask = pc.fill_null(pc.equal(t[keep_col], t["__mn"]), True)
+        return t.filter(mask).select(original)
 
-    return j.map_batches(keep, batch_format="pandas")
+    return j.map_batches(keep, batch_format="pyarrow")
 
 
 def duplicate_key_counts(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
@@ -354,6 +356,16 @@ def score_pairs_joined(
         aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
+        # defense in depth for duplicate ids: should features_dataset's
+        # one-feature-per-id reduction ever see an id split across blocks
+        # (a partition emitted as 2+ blocks), the joins would fan a pair
+        # out once per feature combination.  All copies of a pair share
+        # its b value, so the second join co-locates them in THIS batch —
+        # keeping the lexicographically-smallest (__fa, __fb) row per
+        # (a, b) reproduces the broadcast shape's min-pickled-feature
+        # winner exactly.
+        df = (df.sort_values(["a", "b", "__fa", "__fb"], kind="stable")
+              .drop_duplicates(["a", "b"]))
         vals = [score_fn(pickle.loads(x), pickle.loads(y))
                 for x, y in zip(df["__fa"], df["__fb"])]
         out = df.drop(columns=["__fa", "__fb"])
@@ -361,7 +373,9 @@ def score_pairs_joined(
             out[name] = [v[idx] for v in vals]
         return out
 
-    return j.map_batches(score, batch_format="pandas")
+    # batch_size=None: the dedupe above needs whole join-partition blocks
+    # (pair copies co-locate per block, not per 1024-row default batch)
+    return j.map_batches(score, batch_format="pandas", batch_size=None)
 
 
 def verify_pairs(
@@ -585,12 +599,12 @@ def minhash_candidate_pairs_ds(
     max_bucket: int = 64,
     min_shared_bands: int = 1,
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs as a DATASET of (a, b, bands) — the
-    driver-flat sibling of :func:`minhash_candidate_pairs` for corpora
-    where candidates are O(corpus): per-reducer pairs carry their in-
-    bucket band-hit counts, the cross-bucket merge is one ``grouped_sums``
-    blob exchange keyed by (a, b) (never a driver ``drop_duplicates``),
-    and ``bands`` sums to the pair's total LSH band agreements.
+    """Candidate near-dup pairs as a DATASET of (a, b, bands), driver-flat
+    even for corpora where candidates are O(corpus): per-reducer pairs
+    carry their in-bucket band-hit counts, the cross-bucket merge is one
+    ``grouped_sums`` blob exchange keyed by (a, b) (never a driver
+    ``drop_duplicates``), and ``bands`` sums to the pair's total LSH band
+    agreements.
 
     ``min_shared_bands`` ≥ 2 is a principled candidate prune for low
     thresholds, where the S-curve's tail floods the verify phase with
@@ -906,6 +920,7 @@ def components_losers(
     *,
     num_buckets: int = _EDGE_BUCKETS,
     max_rounds: int = 16,
+    canon_batch_size: int = 500_000,
 ) -> ray.data.Dataset:
     """Distributed connected components over a near-dup pair list: a
     (node, root) Dataset with one row per LOSER node (root = the MIN id
@@ -960,7 +975,16 @@ def components_losers(
     # in ONE local pass and the star rounds only stitch across batches,
     # while at 100-TB pair volumes memory stays bounded per worker.
     edges = pairs.map_batches(canon, batch_format="pandas",
-                              batch_size=500_000)
+                              batch_size=canon_batch_size)
+
+    def _clean_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # buckets with violations carry a node=None summary row whose
+        # pd.concat flipped the WHOLE block to object dtype; hash-bucket
+        # partitioning is dtype-sensitive (an int id hashes differently
+        # as int64 vs object), so restore numeric dtypes after dropping
+        # the summary rows or later rounds lose reducer co-location
+        return (df[df["node"].notna()][["node", "root"]]).infer_objects()
+
     cycles = 0
     next_check = 1
     while cycles < max_rounds:
@@ -972,18 +996,39 @@ def components_losers(
         labelled = _labels_and_violations(edges, num_buckets).materialize()
         viol = labelled.sum("viol", ignore_nulls=True) or 0
         if viol == 0:
-            return labelled.map_batches(
-                lambda df: df[df["node"].notna()][["node", "root"]],
-                batch_format="pandas")
+            return labelled.map_batches(_clean_labels, batch_format="pandas")
         # labels double as the (deduped) edge set for the next cycles
         edges = labelled.map_batches(
-            lambda df: (df[df["node"].notna()][["node", "root"]]
-                        .rename(columns={"node": "u", "root": "v"})),
+            lambda df: _clean_labels(df).rename(
+                columns={"node": "u", "root": "v"}),
             batch_format="pandas")
         next_check = cycles * 2
     raise RuntimeError(
         f"components_losers did not reach a star fixpoint in {max_rounds} "
         f"rounds — raise max_rounds (graph diameter is pathological)")
+
+
+def cluster_size_histogram(losers: ray.data.Dataset) -> pd.DataFrame:
+    """(cluster_size, n_clusters) histogram from :func:`components_losers`
+    output: per-root loser counts (+1 for the root itself) and the final
+    size histogram are each one ``grouped_sums`` blob exchange; clusters
+    are size ≥ 2 by construction (unpaired docs form no component).
+    Shared by the text and audio dedup-analytics entries."""
+    from anomaly_detection_ray.pipelines.relational import grouped_sums
+
+    empty = pd.DataFrame({"cluster_size": pd.Series(dtype="int64"),
+                          "n_clusters": pd.Series(dtype="int64")})
+    per_root = grouped_sums(losers, ["root"], [])
+    hist = per_root.map_batches(
+        lambda df: pd.DataFrame(
+            {"cluster_size": (df["__cnt__"] + 1).astype("int64")}),
+        batch_format="pandas")
+    out = grouped_sums(hist, ["cluster_size"], []).to_pandas()
+    if out.empty:
+        return empty
+    out = out.rename(columns={"__cnt__": "n_clusters"})
+    return (out[["cluster_size", "n_clusters"]].astype("int64")
+            .sort_values("cluster_size").reset_index(drop=True))
 
 
 def drop_component_losers(
@@ -1028,7 +1073,8 @@ def drop_component_losers(
         return ds.map_batches(keep, batch_format="pyarrow")
     return ds.join(losers.select_columns(["node"]), "left_anti",
                    num_partitions=num_partitions,
-                   on=(id_col,), right_on=("node",))
+                   on=(id_col,), right_on=("node",),
+                   aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
 
 def collapse_near_dups(

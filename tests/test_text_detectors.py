@@ -177,6 +177,35 @@ class TestNgramJaccardExactAnchor:
         joined = ngram_jaccard_dups(sf, broadcast_limit=0)
         pd.testing.assert_frame_equal(bcast, joined)
 
+    def test_multi_round_convergence_keeps_int_label_dtype(self, ray_session):
+        """Regression: a failed structural check used to recycle labels
+        through pd.concat with a node=None summary row, flipping whole
+        blocks to object dtype — and hash-bucket partitioning is
+        dtype-sensitive, so int ids lost reducer co-location in every
+        later round.  Force multiple star cycles (tiny canon batches over
+        a long int-id chain) and pin the result to the union-find
+        reference."""
+        import ray.data as rd2
+
+        from anomaly_detection_ray.stages.dedup import (
+            components_losers,
+            union_find_components,
+        )
+
+        L = 120
+        pairs = pd.DataFrame({"a": np.arange(L, dtype=np.int64),
+                              "b": np.arange(1, L + 1, dtype=np.int64)})
+        ds = rd2.from_pandas(pairs).repartition(12).materialize()
+        out = (components_losers(ds, canon_batch_size=8)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert out["node"].dtype == np.int64 and out["root"].dtype == np.int64
+        ref = union_find_components(pairs)
+        want = (pd.DataFrame([(n, r) for n, r in ref.items() if n != r],
+                             columns=["node", "root"])
+                .sort_values("node").reset_index(drop=True)
+                .astype("int64"))
+        pd.testing.assert_frame_equal(out, want)
+
     def test_cluster_size_histogram_matches_union_find(self, ray_session):
         """near_dup_cluster_sizes (distributed collapse + two blob
         exchanges) == the size histogram of the single-machine union-find

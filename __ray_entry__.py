@@ -407,7 +407,8 @@ def oracle_sql() -> dict[str, str]:
         # connected-components collapse of the exact pair set: recursive
         # min-label propagation over the symmetric edge list; keep the MIN
         # doc_id per component plus every unpaired doc (mirrors
-        # union_find_components + drop_near_dup_losers).
+        # collapse_near_dups = star-contraction components_losers +
+        # drop_component_losers).
         "near_dup_dedup_exact": f"""
             WITH RECURSIVE {_NGRAM_PAIR_CTES},
             pairs AS ({_NGRAM_PAIR_SELECT}),

@@ -490,10 +490,11 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.6, n: int = 3, *,
        verify metric, σ≈0.04 at 128 perms, 0.8× margin) and exact
        word-n-gram Jaccard runs ONLY for estimate survivors.
 
-    Feature maps broadcast under ``broadcast_limit`` candidate docs and
-    attach via hash-partitioned joins above it (verify_pairs) — no
-    driver structure grows with the corpus; the near-dup OUTPUT is
-    O(true dups), safe to collect."""
+    Feature maps broadcast under ``broadcast_limit`` candidate PAIRS
+    (verify_pairs gates on pairs.count(); distinct docs are the same
+    order) and attach via hash-partitioned joins above it — no driver
+    structure grows with the corpus; the near-dup OUTPUT is O(true
+    dups), safe to collect."""
     from anomaly_detection_ray.functions.text import (
         jaccard,
         round_half_up6,

@@ -282,32 +282,93 @@ def features_dataset(
     pruned by a hash-partitioned LEFT-SEMI join (no broadcast id set, no
     driver gather) and ``feature_fn`` runs inside the map on the matching
     rows.  Features travel as pickled binary so arbitrary objects
-    (hash-set arrays, signatures) ride Arrow blocks."""
+    (hash-set arrays, signatures) ride Arrow blocks.
+
+    Nested payload columns (list/struct — e.g. an embedding
+    ``list<float>``) are pickled to binary BEFORE the join: Arrow's acero
+    hash join rejects nested non-key fields, and the join moves the
+    payload bytes either way, so the pickle only adds a copy.
+
+    Duplicate ids (a planted data-quality class in the clips tables)
+    resolve to ONE feature by content — the lexicographically smallest
+    pickled bytes, gather_doc_features' exact collision rule, so both
+    verify shapes agree.  The reduction is a real KEYED exchange (per-
+    block pre-reduce, then one blob shuffle keyed by hash(id) over the
+    O(candidate) feature rows): a per-block min alone is NOT global,
+    because Ray splits a large join partition into multiple blocks at the
+    target block size (ADVICE r4)."""
     import pickle
 
-    need = docs.select_columns([id_col, payload_col]).join(
+    from anomaly_detection_ray.functions.hashing import bucket_of
+
+    corpus = docs.select_columns([id_col, payload_col])
+    # Schema.types: pa.DataType for Arrow-typed columns, the raw `object`
+    # class for pandas object blocks (never nested)
+    sch = corpus.schema()
+    types = dict(zip(sch.names, sch.types))
+    payload_type = types[payload_col]
+    if isinstance(payload_type, pa.DataType) and pa.types.is_nested(payload_type):
+        def pack(batch: pa.Table) -> pa.Table:
+            vals = [pickle.dumps(v) for v in batch[payload_col].to_pylist()]
+            return pa.table({id_col: batch[id_col],
+                             payload_col: pa.array(vals, pa.binary())})
+
+        corpus = corpus.map_batches(pack, batch_format="pyarrow")
+
+        def load_payload(v):
+            return pickle.loads(v) if v is not None else ""
+    else:
+        def load_payload(v):
+            return v if v is not None else ""
+
+    need = corpus.join(
         ids, "left_semi", _join_partitions(num_partitions),
         on=(id_col,), right_on=("id",),
         aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
+    feat_buckets = 16
+
     def feats(batch: pa.Table) -> pa.Table:
-        # duplicate ids (a planted data-quality class in the clips
-        # tables) resolve to ONE feature by content — lexicographically
-        # smallest pickled bytes, gather_doc_features' exact collision
-        # rule, so both verify shapes agree.  The semi-join hash-
-        # partitions by id and batch_size=None keeps one partition per
-        # batch, so this per-batch min is global.
+        # per-block pre-reduce: min pickled feature per id
         best: dict = {}
         for i, t in zip(batch[id_col].to_pylist(),
                         batch[payload_col].to_pylist()):
-            b = pickle.dumps(feature_fn(t if t is not None else ""))
+            b = pickle.dumps(feature_fn(load_payload(t)))
             prev = best.get(i)
             if prev is None or b < prev:
                 best[i] = b
-        return pa.table({"id": pa.array(list(best), batch[id_col].type),
-                         "feat": pa.array(list(best.values()), pa.binary())})
+        ids_np = np.asarray(list(best), dtype=object)
+        fs_np = np.asarray(list(best.values()), dtype=object)
+        bk = bucket_of(ids_np, feat_buckets)
+        rows = [(int(x), pickle.dumps((ids_np[bk == x], fs_np[bk == x])))
+                for x in np.unique(bk)]
+        return pa.table({"bucket": pa.array([r[0] for r in rows], pa.int64()),
+                         "blob": pa.array([r[1] for r in rows], pa.binary())})
 
-    return need.map_batches(feats, batch_format="pyarrow", batch_size=None)
+    id_type = types[id_col] if isinstance(types[id_col], pa.DataType) else None
+
+    def reduce_feats(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [pickle.loads(x) for x in g["blob"]]
+        df = pd.DataFrame({"id": np.concatenate([p[0] for p in parts]),
+                           "feat": np.concatenate([p[1] for p in parts])})
+        return (df.sort_values(["id", "feat"], kind="stable")
+                .drop_duplicates("id"))
+
+    reduced = (need.map_batches(feats, batch_format="pyarrow",
+                                batch_size=None)
+               .groupby("bucket").map_groups(reduce_feats,
+                                             batch_format="pandas"))
+
+    def typed(df: pd.DataFrame) -> pa.Table:
+        # restore the exact Arrow id type (hash-partition co-location in
+        # the downstream joins is dtype-sensitive; pandas-object blocks
+        # fall back to Arrow inference); also coalesces the schema-less
+        # empty blocks blob shuffles can leak
+        return pa.table({"id": pa.array(df["id"].tolist(), id_type),
+                         "feat": pa.array(df["feat"].tolist(), pa.binary())})
+
+    return reduced.map_batches(typed, batch_format="pandas",
+                               batch_size=65536)
 
 
 def score_pairs_joined(
@@ -356,14 +417,11 @@ def score_pairs_joined(
         aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        # defense in depth for duplicate ids: should features_dataset's
-        # one-feature-per-id reduction ever see an id split across blocks
-        # (a partition emitted as 2+ blocks), the joins would fan a pair
-        # out once per feature combination.  All copies of a pair share
-        # its b value, so the second join co-locates them in THIS batch —
-        # keeping the lexicographically-smallest (__fa, __fb) row per
-        # (a, b) reproduces the broadcast shape's min-pickled-feature
-        # winner exactly.
+        # belt-and-braces only: features_dataset now reduces to ONE
+        # feature per id with a keyed exchange (ADVICE r4), so the joins
+        # cannot fan a pair out.  Kept because it also absorbs duplicate
+        # (a, b) rows a caller might feed in: all copies of a pair share
+        # its b value, so the second join co-locates them in this batch.
         df = (df.sort_values(["a", "b", "__fa", "__fb"], kind="stable")
               .drop_duplicates(["a", "b"]))
         vals = [score_fn(pickle.loads(x), pickle.loads(y))

@@ -796,17 +796,20 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
         from anomaly_detection_ray.stages.dedup import postings_pairs
 
         parts = [pickle.loads(x) for x in g["blob"]]
-        out, dropped = postings_pairs(
+        out, chained = postings_pairs(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
-            cap=max_docs_per_fp, overflow="truncate")
-        if dropped:  # no silent caps: surface truncated fingerprint mass
+            cap=max_docs_per_fp, overflow="chain")
+        if chained:  # no silent caps: chain keeps every doc reachable
             import logging
 
-            logging.getLogger(__name__).warning(
-                "winnow fingerprint cap (%d) dropped %d doc slots from hot "
-                "fingerprints — shared counts are floors for those",
-                max_docs_per_fp, dropped)
+            logging.getLogger(__name__).info(
+                "winnow hot-fingerprint chain mode: %d doc slots pair "
+                "consecutively instead of all-pairs (cap %d) — shared "
+                "counts are floors there; boilerplate clusters share many "
+                "hot fingerprints, so consecutive pairs still accumulate "
+                "past min_shared and stay reachable for collapse",
+                chained, max_docs_per_fp)
         return out
 
     empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})

@@ -12,10 +12,13 @@ partition-per-group pattern to content identity):
   (band, band_hash, doc_id) rows → ``groupby`` band buckets → candidate
   pairs → verify by signature-estimated Jaccard (and optionally exact
   n-gram Jaccard).  Partitioning assumption: band buckets are small
-  (bounded by collision rate); a pathological bucket is capped at
-  ``max_bucket`` docs and the overflow logged, never materialized.
+  (bounded by collision rate); a pathological bucket follows its
+  ``overflow`` policy — minhash candidate generation truncates at
+  ``max_bucket`` docs with the overflow logged, while the collapse-feeding
+  families (simhash, winnowing, audio, embedding) chain hot runs so every
+  doc stays reachable — never materialized on the driver either way.
 - **SimHash**: 64-bit signature, bucket by 16-bit bands, pairs with
-  Hamming distance ≤ k.
+  Hamming distance ≤ k; hot band-value groups chain in simhash order.
 """
 
 from __future__ import annotations
@@ -1224,25 +1227,45 @@ def simhash_near_duplicates(
         hs = np.concatenate([p[1] for p in parts])
         bv = np.concatenate([p[2] for p in parts])
         rows = []
-        dropped = 0
+        chained = 0
+        cap = 64
         sub = pd.DataFrame({"doc_id": ids, "h": hs, "bv": bv})
         for _, grp in sub.groupby("bv"):
             if len(grp) < 2:
                 continue
-            dropped += max(len(grp) - 64, 0)
-            grp = grp.sort_values("doc_id").head(64)
-            gids = grp["doc_id"].to_numpy()
-            ghs = grp["h"].to_numpy().astype(np.uint64)
-            for i in range(len(gids)):
-                d = hamming64(ghs[i + 1:], ghs[i])
-                for j in np.flatnonzero(d <= max_hamming):
-                    rows.append((gids[i], gids[i + 1 + j], int(d[j])))
-        if dropped:  # no silent caps (VERDICT r1): surface truncated mass
+            if len(grp) <= cap:
+                grp = grp.sort_values("doc_id")
+                gids = grp["doc_id"].to_numpy()
+                ghs = grp["h"].to_numpy().astype(np.uint64)
+                for i in range(len(gids)):
+                    d = hamming64(ghs[i + 1:], ghs[i])
+                    for j in np.flatnonzero(d <= max_hamming):
+                        rows.append((gids[i], gids[i + 1 + j], int(d[j])))
+            else:
+                # hot band value: 2-hop chain in (simhash, doc_id) order —
+                # O(n) candidates, identical/near simhashes sit adjacent so
+                # every doc of a boilerplate cluster stays reachable for a
+                # union-find collapse (same tradeoff as postings_pairs
+                # overflow="chain" on the audio/winnow axes; replaces the
+                # head(64) truncate that silently lost recall at scale)
+                chained += len(grp)
+                grp = grp.sort_values(["h", "doc_id"])
+                gids = grp["doc_id"].to_numpy()
+                ghs = grp["h"].to_numpy().astype(np.uint64)
+                for hop in (1, 2):
+                    d = hamming64(ghs[:-hop], ghs[hop:])
+                    for j in np.flatnonzero(d <= max_hamming):
+                        a, b = gids[j], gids[j + hop]
+                        if a > b:
+                            a, b = b, a
+                        rows.append((a, b, int(d[j])))
+        if chained:  # no silent caps: chain keeps hot buckets reachable
             import logging
 
-            logging.getLogger(__name__).warning(
-                "simhash band-bucket cap (64) dropped %d docs from oversized "
-                "buckets — near-dup recall is reduced for those", dropped)
+            logging.getLogger(__name__).info(
+                "simhash hot band-bucket chain mode: %d docs pair "
+                "consecutively in simhash order instead of all-pairs "
+                "(cap %d)", chained, cap)
         if not rows:  # typed empty: most buckets yield no pairs
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),

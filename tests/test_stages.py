@@ -198,6 +198,36 @@ class TestDedup:
         exact_expected = {p for p in expected if p[1] >= 200}
         assert exact_expected <= found
 
+    def test_simhash_hot_bucket_stays_reachable(self):
+        """A duplicate cluster larger than the 64-doc band-bucket cap must
+        stay one connected component through the chain-mode pairs (the old
+        head(64) truncate silently disconnected docs 64+)."""
+        n_hot = 100
+        boiler = "terms of service apply to all users of this web site " * 4
+        rows = [{"doc_id": i, "text": boiler} for i in range(n_hot)]
+        g = np.random.default_rng(7)
+        vocab = np.array("one two three four five six seven eight nine ten "
+                         "red blue green yellow black white".split())
+        rows += [{"doc_id": 1000 + i, "text": " ".join(g.choice(vocab, 40))}
+                 for i in range(20)]
+        pairs = simhash_near_duplicates(rd.from_pandas(pd.DataFrame(rows)),
+                                        "text", "doc_id", max_hamming=3)
+        parent = {i: i for i in range(n_hot)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+            if a < n_hot and b < n_hot:
+                parent[find(a)] = find(b)
+        roots = {find(i) for i in range(n_hot)}
+        assert len(roots) == 1, (
+            f"hot cluster split into {len(roots)} components — chain mode "
+            "must keep every doc reachable")
+
 
 class TestReferential:
     def test_bloom_no_false_negatives(self):

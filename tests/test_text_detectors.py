@@ -141,6 +141,43 @@ class TestWinnowPipeline:
         # unrelated docs never pair
         assert all(a == "d0" and b == "d1" for a, b in njp)
 
+    def test_hot_fingerprint_cluster_stays_reachable(self, ray_session,
+                                                     tmp_path):
+        """A duplicate cluster larger than the 32-doc per-fingerprint cap
+        must stay one connected component: chain-mode postings pair hot-run
+        docs consecutively, and because the cluster shares MANY hot
+        fingerprints the consecutive pairs accumulate shared >= min_shared
+        (the old truncate mode dropped docs 32+ entirely)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from anomaly_detection_ray.pipelines.textops import winnow_near_dups
+
+        n_hot = 50
+        boiler = ("copyright notice all rights reserved this page is part of "
+                  "the standard site template used everywhere " * 3)
+        ids = [f"h{i:03d}" for i in range(n_hot)] + [f"u{i}" for i in range(10)]
+        texts = [boiler] * n_hot + [
+            f"unique document {i} about subject {i * 13} with distinct words "
+            f"nobody else uses like zxq{i} and vbn{i}" for i in range(10)]
+        d = tmp_path / "sfhot"; d.mkdir()
+        pq.write_table(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}), str(d / "documents.parquet"))
+        out = winnow_near_dups(str(d))
+        parent = {f"h{i:03d}": f"h{i:03d}" for i in range(n_hot)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(out["a"], out["b"]):
+            if a in parent and b in parent:
+                parent[find(a)] = find(b)
+        roots = {find(k) for k in parent}
+        assert len(roots) == 1, (
+            f"hot-fingerprint cluster split into {len(roots)} components")
+
 
 class TestNgramJaccardExactAnchor:
     def test_lsh_path_matches_exact_twin(self, ray_session):

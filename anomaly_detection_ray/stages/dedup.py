@@ -157,8 +157,9 @@ def _exact_dedup_joined(ds: ray.data.Dataset, cols: Sequence[str],
     hashed = ds.map_batches(with_hash, batch_format="pyarrow",
                             batch_size=65536)
     winners = (winners_ds
-               .map_batches(lambda t: t, batch_format="pyarrow",
-                            batch_size=65536)
+               .map_batches(lambda t: t.append_column(
+                   "__w", pa.array(np.ones(len(t), dtype=bool))),
+                   batch_format="pyarrow", batch_size=65536)
                .rename_columns({"h": "__h", "mn": "__mn"}))
     j = hashed.join(winners, "left_outer", _join_partitions(None),
                     on=("__h",), right_on=("__h",),
@@ -166,8 +167,15 @@ def _exact_dedup_joined(ds: ray.data.Dataset, cols: Sequence[str],
 
     def keep(t: pa.Table) -> pa.Table:
         # Arrow-side comparison: pandas would cast the null-bearing __mn
-        # to float64 and silently collide int64 ids at >= 2^53
-        mask = pc.fill_null(pc.equal(t[keep_col], t["__mn"]), True)
+        # to float64 and silently collide int64 ids at >= 2^53.  The __w
+        # marker separates "no winner row" (unique hash — keep) from
+        # "winner exists but this row's keep_col is null / differs"
+        # (drop): a bare fill_null(True) on the equality kept null-id
+        # rows of duplicated groups, diverging from the broadcast
+        # searchsorted path where NaN == winner is False (ADVICE r4)
+        unmatched = pc.is_null(t["__w"])
+        is_winner = pc.fill_null(pc.equal(t[keep_col], t["__mn"]), False)
+        mask = pc.or_(unmatched, is_winner)
         return t.filter(mask).select(original)
 
     return j.map_batches(keep, batch_format="pyarrow")

@@ -352,6 +352,13 @@ def grouped_exact_order_stats(
                 if r not in resolved[g]]
         if not todo:
             break
+        # the pass's windows collect onto the driver in ONE to_pandas, so
+        # the per-spec cap scales down with the number of unresolved
+        # specs: transient driver memory stays O(collect_cap) total, not
+        # O(specs × collect_cap) (ADVICE r4 — 10³ groups × 2^17 float64
+        # was ~1 GB).  The 4096 floor trades at most a few extra digest-
+        # refinement rounds for the bound.
+        cap_eff = max(collect_cap // len(todo), min(collect_cap, 4096))
         specs = []  # (group, rank, lo, hi, collect?)
         for g, r in todo:
             dg, below, rn, lo_b, hi_b = region[(g, r)]
@@ -361,7 +368,7 @@ def grouped_exact_order_stats(
             hi = hi_b if q + p >= 1 else float(np.clip(dg.quantile([q + p])[0], lo_b, hi_b))
             cdfs = dg.cdf([lo, hi])
             est_in = rn * float(np.clip(cdfs[1] - cdfs[0], 0.0, 1.0))
-            collect = lo < hi and est_in <= collect_cap
+            collect = lo < hi and est_in <= cap_eff
             specs.append((g, r, lo, hi, collect))
         spec_groups: dict = {}
         for j, (g, _r, lo, hi, collect) in enumerate(specs):

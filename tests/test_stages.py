@@ -120,6 +120,28 @@ class TestDedup:
                   .to_pandas().sort_values("id").reset_index(drop=True))
         pd.testing.assert_frame_equal(bcast, joined)
 
+    def test_exact_dedup_null_keep_col_shapes_agree(self):
+        """A null keep_col row inside a duplicated group is never the
+        winner: the broadcast searchsorted path drops it (NaN == winner is
+        False) and the joined path must agree instead of fill_null(True)
+        keeping it (ADVICE r4)."""
+        df = pd.DataFrame({
+            "id": pd.array([0, None, 2, 3, None, 5], dtype="Int64"),
+            "text": ["dup", "dup", "dup", "u1", "u2", "u3"],
+        })
+        ds = rd.from_pandas(df).repartition(3)
+
+        def ids_kept(lim):
+            out = exact_dedup(ds, ["text"], "id", broadcast_limit=lim).to_pandas()
+            return sorted(out["id"].dropna().astype(int).tolist()), int(out["id"].isna().sum())
+
+        bcast = ids_kept(10**9)
+        joined = ids_kept(0)
+        assert bcast == joined
+        # winner of the dup group is id 0; null-id dup rows drop, but the
+        # unique-content null-id row (u2) survives on both shapes
+        assert bcast == ([0, 3, 5], 1)
+
     def test_verify_pairs_shapes_agree_on_adversarial_corpus(self):
         """Property check on the two verify_pairs shapes: random corpus
         WITH duplicate ids (the planted data-quality class — resolved by

@@ -311,7 +311,7 @@ def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
     The sequential online-update SPOT (F15) remains available as
     ``SpotDetector.score_series`` for single-series use."""
     from anomaly_detection_ray.config import MAX_EVENT_TRAINING_POINTS
-    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_models
+    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_params
 
     max_train = max_train or MAX_EVENT_TRAINING_POINTS
     ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
@@ -327,8 +327,13 @@ def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
                                fit, order_col=["ts", "event_id"],
                                max_points=max_train)
 
-    def score(m, grp: pd.DataFrame) -> pd.DataFrame:
-        hit = grp[(grp["ts"] > m["calib_end"]) & (grp["value"] > m["zq"])]
+    # elementwise rule over scalar params → the zero-per-entity-call
+    # scoring shape: one vectorized pass per batch, params row-aligned
+    def score(df: pd.DataFrame, p: dict) -> pd.DataFrame:
+        calib_end = np.array(p["calib_end"], dtype="datetime64[ns]")
+        m = ((df["ts"].to_numpy() > calib_end)
+             & (df["value"].to_numpy() > p["zq"].astype(np.float64)))
+        hit = df[m]
         return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
                              "event_type": hit["event_type"],
                              "value": hit["value"].round(6)})
@@ -336,7 +341,8 @@ def spot_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
     empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                           "event_type": pd.Series(dtype=object),
                           "value": pd.Series(dtype="float64")})
-    out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
+    out = score_with_params(ds, "event_type", models, ["zq", "calib_end"],
+                            score, empty).to_pandas()
     if out.empty:  # all-empty blocks can lose the schema through to_pandas
         return empty
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
@@ -348,7 +354,7 @@ def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
     center/scale fit on a bounded calibration head per type, then a
     stateless vectorized scoring pass over the full stream."""
     from anomaly_detection_ray.config import MAX_EVENT_TRAINING_POINTS
-    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_models
+    from anomaly_detection_ray.stages.models import fit_entity_models, score_with_params
 
     max_train = max_train or MAX_EVENT_TRAINING_POINTS
     ds = sf_table(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
@@ -363,22 +369,24 @@ def huber_anomalies(sf_dir: str, max_train: int | None = None) -> pd.DataFrame:
                                fit, order_col=["ts", "event_id"],
                                max_points=max_train)
 
-    def score(m, grp: pd.DataFrame) -> pd.DataFrame:
-        v = grp["value"].to_numpy()
-        hi = v > m["center"] + m["tol"] * m["scale"]
-        lo = v < m["center"] - m["tol"] * m["scale"]
-        s = hi.astype(np.int8) - lo.astype(np.int8)
-        hit = grp[s != 0]
+    def score(df: pd.DataFrame, p: dict) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        center = p["center"].astype(np.float64)
+        band = p["tol"].astype(np.float64) * p["scale"].astype(np.float64)
+        s = (v > center + band).astype(np.int8) - (v < center - band).astype(np.int8)
+        m = s != 0
+        hit = df[m]
         return pd.DataFrame({"event_id": hit["event_id"].astype("int64"),
                              "event_type": hit["event_type"],
                              "value": hit["value"].round(6),
-                             "direction": s[s != 0].astype("int64")})
+                             "direction": s[m].astype("int64")})
 
     empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                           "event_type": pd.Series(dtype=object),
                           "value": pd.Series(dtype="float64"),
                           "direction": pd.Series(dtype="int64")})
-    out = score_with_models(ds, "event_type", models, score, empty).to_pandas()
+    out = score_with_params(ds, "event_type", models,
+                            ["center", "scale", "tol"], score, empty).to_pandas()
     if out.empty:  # all-empty blocks can lose the schema through to_pandas
         return empty
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)

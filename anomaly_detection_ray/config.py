@@ -212,7 +212,7 @@ class SuiteConfig:
     def from_dict(cls, d: dict[str, Any]) -> "SuiteConfig":
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for tup in ("checks", "partitions_to_skip"):
+        for tup in ("checks", "partitions_to_skip", "drift_columns"):
             if tup in kwargs:
                 kwargs[tup] = tuple(kwargs[tup])
         return cls(**kwargs)
@@ -271,6 +271,14 @@ class ForecastConfig:
             raise ValueError(
                 "freshness_threshold_overrides and latency_threshold_overrides "
                 f"cannot share keys: {sorted(overlap)}")
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ForecastConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
     @classmethod
     def from_env(cls) -> "ForecastConfig":

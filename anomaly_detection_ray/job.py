@@ -40,9 +40,19 @@ def build_config(path: str | None):
 
 
 def run(args) -> dict:
+    from anomaly_detection_ray.context import current_or_default
     from anomaly_detection_ray.pipelines.validate import validate_clips
     from anomaly_detection_ray.state.checkpoint import RunCheckpoint
 
+    # execution-environment abstraction (§2.11, reference context.py):
+    # paths, parallelism and metric sinks route through the active
+    # context — a deployment swaps RuntimeContext.current, not this code
+    ctx = current_or_default()
+    args.clips = ctx.resolve_path(args.clips)
+    if args.transcripts:
+        args.transcripts = ctx.resolve_path(args.transcripts)
+    if args.out:
+        args.out = ctx.resolve_path(args.out)
     cfg = build_config(args.config)
     eval_ts = args.eval_ts if args.eval_ts is not None else time.time()
     checkpoint = RunCheckpoint(args.out, cfg.dataset, eval_ts) if args.out else None
@@ -74,7 +84,6 @@ def run(args) -> dict:
     from anomaly_detection_ray.metrics import (
         build_check_entries,
         emit_health_checks,
-        file_sink,
     )
 
     entries = build_check_entries(res.verdicts, res.violations)
@@ -101,9 +110,10 @@ def run(args) -> dict:
     if args.out:
         with open(os.path.join(args.out, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
-        # K3: batched health-check emission to the local JSONL sink
+        # K3: batched health-check emission to the context's sink (a
+        # JSONL file locally; a deployment's context swaps the endpoint)
         metrics["health_check_emission"] = emit_health_checks(
-            entries, file_sink(os.path.join(args.out, "health_checks.jsonl")))
+            entries, ctx.metrics_sink(args.out))
         # K4: one quality-overview dashboard per output root, create-once
         from anomaly_detection_ray.visualization import create_dashboard_if_not_exists
 
@@ -111,9 +121,102 @@ def run(args) -> dict:
     return metrics
 
 
-def main(argv=None) -> None:
-    p = argparse.ArgumentParser(description="Run the clips validation suite")
-    p.add_argument("--clips", required=True, help="clips table path (parquet dir)")
+def build_job_spec(args) -> dict:
+    """Serialize one scheduled-validation job to a JSON-compatible spec —
+    the reference's job-creation payload re-expressed for `ray job submit`
+    (reference detection.py:62-151: configs serialized with a
+    ``metric_type`` class marker, a periodic trigger, zero retries, then
+    ``run_now``).  The spec is self-contained: ``job.py run --spec`` (the
+    entrypoint it names) reconstructs the configs and arguments from it."""
+    from anomaly_detection_ray.config import ForecastConfig, SuiteConfig
+
+    cfg = build_config(args.config)
+    fcfg = ForecastConfig.from_env()
+    configs = []
+    for c in (cfg, fcfg):
+        d = c.to_dict()
+        d["metric_type"] = type(c).__name__  # decode marker (detection.py:101)
+        configs.append(d)
+    return {
+        "name": f"[quality anomaly detection] on dataset {cfg.dataset}",
+        "entrypoint": ("python -m anomaly_detection_ray.job run "
+                       "--spec <this file>"),
+        "configs": configs,
+        "args": {
+            "clips": args.clips,
+            "transcripts": args.transcripts,
+            "baseline": args.baseline,
+            "out": args.out,
+            "eval_ts": args.eval_ts,
+        },
+        "schedule": {"interval_hours": args.interval_hours,
+                     "pause_status": "UNPAUSED"},
+        "email_notifications": {"on_failure": list(args.notify or ())},
+        "timeout_seconds": 0,
+        "max_retries": 0,  # reference default: no retries (detection.py:129)
+    }
+
+
+def load_job_spec(path: str):
+    """Round-trip decode of :func:`build_job_spec`'s output: returns
+    ``(run_args_namespace, SuiteConfig, ForecastConfig)`` with each config
+    reconstructed through its class's ``from_dict`` via the
+    ``metric_type`` marker."""
+    from anomaly_detection_ray.config import ForecastConfig, SuiteConfig
+
+    with open(path) as f:
+        spec = json.load(f)
+    decoders = {"SuiteConfig": SuiteConfig.from_dict,
+                "ForecastConfig": ForecastConfig.from_dict}
+    cfg, fcfg = None, None
+    for d in spec.get("configs", []):
+        kind = d.get("metric_type")
+        obj = decoders[kind]({k: v for k, v in d.items()
+                              if k != "metric_type"})
+        if kind == "SuiteConfig":
+            cfg = obj
+        else:
+            fcfg = obj
+    a = spec.get("args", {})
+    ns = argparse.Namespace(
+        clips=a.get("clips"), transcripts=a.get("transcripts"),
+        baseline=a.get("baseline"), out=a.get("out"),
+        eval_ts=a.get("eval_ts"), config=None)
+    return ns, cfg or SuiteConfig(), fcfg or ForecastConfig()
+
+
+def submit(args) -> dict:
+    """Create (and optionally trigger) a validation job: write the spec
+    JSON, then — standing in for ``ray job submit`` in this sandbox —
+    launch the run entrypoint as a local subprocess when ``--run-now``.
+    Returns ``{"job_spec": path, "triggered": bool, ...}``; with
+    ``--run-now`` the child's metrics JSON is included under ``"run"``."""
+    import subprocess
+    import sys
+
+    spec = build_job_spec(args)
+    spec_path = args.spec_out or os.path.join(args.out or ".",
+                                              "job_spec.json")
+    os.makedirs(os.path.dirname(spec_path) or ".", exist_ok=True)
+    with open(spec_path, "w") as f:
+        json.dump(spec, f, indent=2)
+    result = {"job_spec": spec_path, "name": spec["name"],
+              "triggered": bool(args.run_now)}
+    if args.run_now:
+        proc = subprocess.run(
+            [sys.executable, "-m", "anomaly_detection_ray.job",
+             "run", "--spec", spec_path],
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"triggered run failed (exit {proc.returncode}): "
+                f"{proc.stderr[-2000:]}")
+        result["run"] = json.loads(proc.stdout.strip().splitlines()[-1])
+    return result
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--clips", default=None, help="clips table path (parquet dir)")
     p.add_argument("--transcripts", default=None, help="transcripts table path")
     p.add_argument("--baseline", default=None,
                    help="baseline stats snapshot parquet (enables drift check)")
@@ -121,7 +224,57 @@ def main(argv=None) -> None:
                    help="output/checkpoint root; rerun with same value to resume")
     p.add_argument("--config", default=None, help="SuiteConfig JSON file")
     p.add_argument("--eval-ts", type=float, default=None, dest="eval_ts")
+
+
+def main(argv=None) -> None:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # legacy flat CLI (pre-subcommand): `job.py --clips ...` means `run`
+    if not argv or argv[0] not in ("run", "submit"):
+        argv = ["run"] + argv
+    p = argparse.ArgumentParser(description="Clips validation suite jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("run", help="run the validation suite once")
+    _add_run_args(pr)
+    pr.add_argument("--spec", default=None,
+                    help="job spec JSON (from `submit`); overrides the "
+                         "other arguments")
+    ps = sub.add_parser(
+        "submit",
+        help="serialize configs to a job spec (and optionally trigger it)")
+    _add_run_args(ps)
+    ps.add_argument("--spec-out", default=None, dest="spec_out",
+                    help="where to write the job spec JSON "
+                         "(default: <out>/job_spec.json)")
+    ps.add_argument("--interval-hours", type=int, default=6,
+                    dest="interval_hours",
+                    help="periodic trigger interval (reference default 6h)")
+    ps.add_argument("--notify", action="append", default=None,
+                    help="on-failure notification address (repeatable)")
+    ps.add_argument("--run-now", action="store_true", dest="run_now",
+                    help="trigger the job immediately in a local "
+                         "subprocess (the sandbox stand-in for "
+                         "`ray job submit`)")
     args = p.parse_args(argv)
+
+    if args.cmd == "submit":
+        print(json.dumps(submit(args)))
+        return
+
+    if args.spec:
+        import tempfile
+
+        spec_args, cfg, _fcfg = load_job_spec(args.spec)
+        # the spec carries the SuiteConfig inline; hand it to run() as a
+        # config file (no env mutation — tests call main() in-process)
+        tf = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(cfg.to_dict(), tf)
+        tf.close()
+        spec_args.config = tf.name
+        args = spec_args
+    if not args.clips:
+        p.error("run requires --clips (or a --spec that provides it)")
 
     import ray
 

@@ -132,7 +132,7 @@ def audio_fingerprint_pairs(
     from anomaly_detection_ray.pipelines.relational import grouped_sums
 
     per_bucket = (feats
-                  .map_batches(partial, batch_format="pandas", batch_size=None)
+                  .map_batches(partial, batch_format="pandas", batch_size=65536)
                   .groupby("bucket").map_groups(shared_counts, batch_format="pandas"))
     # cross-bucket partial-count merge: ONE blob exchange keyed by (a, b)
     # (a pair's fingerprints hash across buckets), then the min_shared
@@ -252,7 +252,7 @@ def audio_similarity_search(
         return out.groupby("query_id", as_index=False).head(k)
 
     parts = (clips.select_columns(["clip_id", "bytes"])
-             .map_batches(score, batch_format="pandas", batch_size=None)
+             .map_batches(score, batch_format="pandas", batch_size=65536)
              .to_pandas())
     if parts.empty:
         return empty

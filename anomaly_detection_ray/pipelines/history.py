@@ -832,7 +832,7 @@ def event_freshness_verdicts(
         return pd.DataFrame({"lo_us": gg["lo_us"].min(),
                              "hi_us": gg["hi_us"].max()}).reset_index()
 
-    spans = (ds.map_batches(span_partial, batch_format="pandas", batch_size=None)
+    spans = (ds.map_batches(span_partial, batch_format="pandas", batch_size=65536)
              .groupby("bucket").map_groups(span_merge, batch_format="pandas")
              .to_pandas())
     if spans.empty:
@@ -868,7 +868,7 @@ def event_freshness_verdicts(
         return (cat.groupby(["event_type", "cell"], observed=True)["age_us"]
                 .min().reset_index())
 
-    ages = (ds.map_batches(age_partial, batch_format="pandas", batch_size=None)
+    ages = (ds.map_batches(age_partial, batch_format="pandas", batch_size=65536)
             .groupby("bucket").map_groups(age_merge, batch_format="pandas")
             .to_pandas())
     cells_by_type = dict(tuple(ages.groupby("event_type")))

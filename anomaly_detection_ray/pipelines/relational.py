@@ -95,7 +95,7 @@ def grouped_sums(
         out[count_alias] = gg[count_alias].sum()
         return out.reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return partials.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
@@ -339,7 +339,7 @@ def exact_distinct_counts(ds: ray.data.Dataset, cols: Sequence[str],
         return pd.DataFrame({"col": [int(g["col"].iloc[0])],
                              "n": [len(np.unique(vals))]})
 
-    per = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    per = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
            .groupby(["col", "bucket"]).map_groups(merge, batch_format="pandas")
            .to_pandas())
     sums = per.groupby("col")["n"].sum()

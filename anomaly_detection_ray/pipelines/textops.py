@@ -672,7 +672,7 @@ def top_ngrams_by_doc_freq(sf_dir: str, n: int = 3, k: int = 20) -> pd.DataFrame
         lambda df: df.sort_values(["doc_freq", "gram"],
                                   ascending=[False, True])
         .head(k)[["gram", "doc_freq"]],
-        batch_format="pandas", batch_size=None)
+        batch_format="pandas", batch_size=65536)
     out = local.to_pandas()
     out = (out.sort_values(["doc_freq", "gram"], ascending=[False, True])
            .head(k).reset_index(drop=True))
@@ -813,7 +813,7 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
         return out
 
     empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
-    per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
                   .groupby("bucket").map_groups(shared_counts, batch_format="pandas"))
     # cross-bucket shared-count merge: one blob exchange keyed by (a, b) —
     # candidates never land on the driver (same shape as the audio family)

@@ -598,7 +598,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, *,
         return out.rename(columns={"shared": "bands"})[["a", "b", "bands"]]
 
     per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=None)
+                                 batch_size=65536)
                   .groupby("k").map_groups(pairs, batch_format="pandas"))
     cand = grouped_sums(per_bucket, ["a", "b"], ["bands"]).map_batches(
         lambda df: df[["a", "b"]], batch_format="pandas").materialize()

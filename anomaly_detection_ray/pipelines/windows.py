@@ -71,7 +71,7 @@ def session_windows(sf_dir: str, gap_s: float = SESSION_GAP_S) -> pd.DataFrame:
         return out.drop(columns="__sid")
 
     parts = ds.map_batches(_user_series_partials(num_buckets),
-                           batch_format="pandas", batch_size=None)
+                           batch_format="pandas", batch_size=65536)
     out = parts.groupby("bucket").map_groups(sessionize, batch_format="pandas").to_pandas()
     if out.empty:  # empty stream: keep the typed schema
         return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
@@ -184,7 +184,7 @@ def asof_join_events(sf_dir: str, probe_type: str = "click",
             "last_build_value": m["value_b"].round(6),
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     out = parts.groupby("bucket").map_groups(merge_asof, batch_format="pandas").to_pandas()
     if out.empty:  # no probe events anywhere: keep the typed schema
         return empty

@@ -142,9 +142,9 @@ def decode_stage(ds, *, batch_size: int = 1024, concurrency: int | None = None,
             num_cpus=num_cpus,
         )
     if concurrency is None:
-        import ray
+        from anomaly_detection_ray.context import current_or_default
 
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        cpus = current_or_default().parallelism()
         # a pool that reserves every CPU starves the producers and the
         # pipeline serializes — always leave read/shuffle headroom
         concurrency = max(1, cpus - 2)

@@ -106,7 +106,7 @@ def exact_dedup(ds: ray.data.Dataset, cols: Sequence[str], keep_col: str,
         return gg[gg["cnt"] > 1][["h", "mn"]]
 
     winners_ds = (ds.map_batches(key_partial, batch_format="pyarrow",
-                                 batch_size=None)
+                                 batch_size=65536)
                   .groupby("bucket").map_groups(dup_winners,
                                                 batch_format="pandas")
                   .materialize())
@@ -366,7 +366,7 @@ def features_dataset(
                 .drop_duplicates("id"))
 
     reduced = (need.map_batches(feats, batch_format="pyarrow",
-                                batch_size=None)
+                                batch_size=65536)
                .groupby("bucket").map_groups(reduce_feats,
                                              batch_format="pandas"))
 
@@ -723,7 +723,7 @@ def minhash_candidate_pairs_ds(
     from anomaly_detection_ray.pipelines.relational import grouped_sums
 
     per_bucket = (docs.map_batches(partial, batch_format="pyarrow",
-                                   batch_size=None)
+                                   batch_size=65536)
                   .groupby("k").map_groups(pairs, batch_format="pandas"))
     merged = grouped_sums(per_bucket, ["a", "b"], ["bands"])
     return merged.map_batches(
@@ -862,7 +862,7 @@ _EDGE_BUCKETS = 32
 def _edge_blob_pass(edges: ray.data.Dataset, partial, reduce) -> ray.data.Dataset:
     """One blob-combiner shuffle over an (u, v) edge dataset: ``partial``
     packs per-block (bucket, blob) rows, ``reduce`` runs per bucket."""
-    return (edges.map_batches(partial, batch_format="pandas", batch_size=None)
+    return (edges.map_batches(partial, batch_format="pandas", batch_size=65536)
             .groupby("bucket").map_groups(reduce, batch_format="pandas"))
 
 
@@ -1280,7 +1280,7 @@ def simhash_near_duplicates(
                                  "hamming": pd.Series(dtype="int64")})
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
-    allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    allp = (docs.map_batches(partial, batch_format="pyarrow", batch_size=65536)
             .groupby("k").map_groups(pairs, batch_format="pandas").to_pandas())
     if allp.empty or "a" not in allp.columns:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})

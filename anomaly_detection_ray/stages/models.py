@@ -87,7 +87,7 @@ def fit_entity_models(
         return pd.DataFrame(out, columns=["entity", "model"])
 
     fitted = (ds.select_columns(proj)
-              .map_batches(partial, batch_format="pandas", batch_size=None)
+              .map_batches(partial, batch_format="pandas", batch_size=65536)
               .groupby("bucket").map_groups(fit, batch_format="pandas")
               .to_pandas())
     models = {e: pickle.loads(m) for e, m in zip(fitted["entity"], fitted["model"])}

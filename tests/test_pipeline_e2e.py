@@ -423,6 +423,55 @@ class TestJobCli:
         assert m2["partitions_skipped_resume"] > 0
         assert m2["rows_validated"] == 0
 
+    def test_job_spec_submit_round_trip(self, tmp_path, capsys):
+        """§3.3 job-spec surface (reference detection.py:62-151): submit
+        serializes SuiteConfig+ForecastConfig into a spec with metric_type
+        markers; load_job_spec reconstructs them EXACTLY; `run --spec`
+        executes with the spec's config applied."""
+        import dataclasses as dc
+        import json, os
+
+        from anomaly_detection_ray.config import ForecastConfig, SuiteConfig
+        from anomaly_detection_ray.job import load_job_spec, main
+        from anomaly_detection_ray.sources.synth import clips_path, transcripts_path
+
+        # a non-default SuiteConfig that must survive the round trip
+        cfg = SuiteConfig(checks=("schema", "null_rate"),
+                          null_rate_threshold=0.25, skew_salt=2)
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(cfg.to_dict()))
+        out = str(tmp_path / "run")
+        spec_path = str(tmp_path / "spec.json")
+        main(["submit", "--clips", clips_path(3000),
+              "--transcripts", transcripts_path(3000),
+              "--out", out, "--config", str(cfg_path),
+              "--spec-out", spec_path, "--interval-hours", "12",
+              "--notify", "oncall@example.com",
+              "--eval-ts", "1754000000"])
+        sub_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sub_out["job_spec"] == spec_path and not sub_out["triggered"]
+
+        spec = json.loads(open(spec_path).read())
+        assert spec["schedule"] == {"interval_hours": 12,
+                                    "pause_status": "UNPAUSED"}
+        assert spec["email_notifications"]["on_failure"] == ["oncall@example.com"]
+        assert spec["max_retries"] == 0
+        assert {c["metric_type"] for c in spec["configs"]} == {
+            "SuiteConfig", "ForecastConfig"}
+
+        ns, cfg2, fcfg2 = load_job_spec(spec_path)
+        assert dc.asdict(cfg2) == dc.asdict(cfg)  # exact config round-trip
+        assert dc.asdict(fcfg2) == dc.asdict(ForecastConfig())
+        assert ns.clips == clips_path(3000) and ns.eval_ts == 1754000000
+
+        # the spec IS runnable: `run --spec` applies the embedded config
+        main(["run", "--spec", spec_path])
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["rows_validated"] == 3000
+        ran_checks = {e["quality_check_type"] for e in metrics["check_entries"]}
+        assert ran_checks <= {"schema", "null_rate"}, ran_checks
+        assert os.path.exists(os.path.join(out, "metrics.json"))
+
     def test_metric_caps_and_batch_retry(self):
         """The reference's cap semantics verbatim: first-100 payloads (in
         violations-first order), ≤500 payload items, 500-char errors,
@@ -835,3 +884,64 @@ class TestDriverViolationBounding:
                 for r in v.loc[v["quality_check_type"] == "referential",
                                "additional_debug_info"])
         assert orphan_total(capped) == orphan_total(full) == true_orphans
+
+
+class TestRuntimeContext:
+    """§2.11 execution-environment abstraction (reference context.py:17-90):
+    set-once current, error on double-set/unset read, and injection into
+    the job entrypoint (paths + metric sink route through the context)."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_context(self):
+        from anomaly_detection_ray.context import RuntimeContext
+
+        RuntimeContext.clear()
+        yield
+        RuntimeContext.clear()
+
+    def test_set_once_semantics(self):
+        from anomaly_detection_ray.context import LocalRayContext, RuntimeContext
+
+        assert not RuntimeContext.active
+        with pytest.raises(RuntimeError, match="No available context"):
+            RuntimeContext.current
+        RuntimeContext.current = LocalRayContext()
+        assert RuntimeContext.active
+        with pytest.raises(RuntimeError, match="already set"):
+            RuntimeContext.current = LocalRayContext()
+        RuntimeContext.clear()
+        assert not RuntimeContext.active
+
+    def test_local_context_defaults(self, ray_session, tmp_path):
+        from anomaly_detection_ray.context import LocalRayContext
+
+        ctx = LocalRayContext(path_root=str(tmp_path))
+        assert ctx.resolve_path("tables/clips") == str(tmp_path / "tables/clips")
+        assert ctx.resolve_path("/abs/x") == "/abs/x"
+        assert ctx.resolve_path("s3://bucket/x") == "s3://bucket/x"
+        assert ctx.parallelism() >= 1  # reads the live Ray session
+
+    def test_job_run_routes_through_injected_context(self, tmp_path, capsys):
+        import json
+
+        from anomaly_detection_ray.context import LocalRayContext, RuntimeContext
+        from anomaly_detection_ray.job import main
+        from anomaly_detection_ray.sources.synth import clips_path
+
+        captured = []
+
+        class RecordingContext(LocalRayContext):
+            def metrics_sink(self, out_root):
+                return captured.append
+
+        RuntimeContext.current = RecordingContext()
+        out = str(tmp_path / "ctxrun")
+        main(["run", "--clips", clips_path(3000), "--out", out,
+              "--eval-ts", "1754000000"])
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["rows_validated"] == 3000
+        # K3 health checks went to the injected sink, not the JSONL file
+        assert captured and all("health_checks" in b for b in captured)
+        import os
+
+        assert not os.path.exists(os.path.join(out, "health_checks.jsonl"))

@@ -111,7 +111,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "top_customers": relational.top_customers,
         "revenue_by_orderstatus": relational.revenue_by_orderstatus,
-        "duplicate_user_event_pairs": relational.duplicate_user_event_pairs,
         "hourly_window": relational.hourly_window,
         "asof_latest_value": relational.asof_latest_value,
         # event-time window operators (streaming-window family, oracled)
@@ -127,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": textops.benchmark_contamination,
         "repetition_scores": textops.repetition_scores,
         "doc_length_stats": textops.doc_length_stats,
-        "doc_fingerprints": textops.doc_fingerprints,
         "stratified_sample_docs": textops.stratified_sample_docs,
         "source_mixture_sample": textops.source_mixture_sample,
         "curated_docs": textops.curated_docs,
@@ -136,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": textops.ngram_jaccard_exact,
         "near_dup_dedup_exact": textops.near_dup_dedup_exact,
         "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
+        # winnowing is fully hash-checkable: Karp-Rabin mod 2³¹−1 k-gram
+        # hashes + window-mins + the MOSS df-cap replay exactly in BIGINT SQL
+        "winnow_near_dups": textops.winnow_near_dups,
         "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
         "sequence_pack_manifest": textops.sequence_pack_manifest,
         # vectors (oracled)
@@ -151,23 +152,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_halves_exact": history.drift_halves_exact,
         "spot_anomalies": history.spot_anomalies,
         "huber_anomalies": history.huber_anomalies,
+        # the distributed core of event_freshness (span + age-cell partials
+        # + suffix-min as-of), hash-anchored; the verdict layer on top is
+        # pure-function and pinned by tests
+        "event_latency_grid": history.event_latency_grid,
         # ingest-history chain (oracled over the synthetic history table)
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
         "history_update_commits": lambda sf_dir: history.history_update_commits(),
         "history_windowed_commits": lambda sf_dir: history.history_windowed_commits(),
-        # 51st oracled entry: past the driver's 50-row correctness window
-        # (scripts/parity.py still verifies it); demoted here because its
-        # exact-distinct machinery is exercised in-window by
-        # distinct_counts, and hll_distinct_users' anchor survives via
-        # the parity harness
+        # oracled entries PARKED past the driver's 50-row correctness
+        # window (scripts/parity.py and tests/test_oracle_parity.py still
+        # verify them every run); parked because their machinery is
+        # exercised in-window by a sibling: exact-distinct via
+        # distinct_counts, groupby-count-filter via status_count_domain /
+        # daily_volume, per-row md5 via the exact_dedup family (and md5 is
+        # a standard function pinned by unit tests) — the window slots go
+        # to queries that anchor DISTRIBUTED machinery instead
+        # (winnow_near_dups, event_latency_grid; VERDICT r4 next-round #7)
         "distinct_users_exact": relational.distinct_users_exact,
+        "duplicate_user_event_pairs": relational.duplicate_user_event_pairs,
+        "doc_fingerprints": textops.doc_fingerprints,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
         "minhash_near_dups": textops.minhash_near_dups,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "near_dup_dedup_docs": textops.near_dup_dedup_docs,
         "simhash_near_dups": textops.simhash_near_dups,
-        "winnow_near_dups": textops.winnow_near_dups,
         "knn_label_counts": vectors.knn_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
@@ -402,6 +412,127 @@ _NGRAM_PAIR_SELECT = """
 
 def oracle_sql() -> dict[str, str]:
     return _history_oracle_sqls() | _detector_oracle_sqls() | {
+        # Winnowing (Schleimer et al. 2003) replayed in SQL: per-codepoint
+        # Karp-Rabin 8-gram hashes (base 131 mod 2³¹−1 — every Horner
+        # intermediate < 2³⁹ fits BIGINT exactly, matching
+        # functions/text._kr_kgram_hashes bit-for-bit), window-4 minima
+        # dedup'd per doc (docs with ≤ 4 hashes keep them all), candidate
+        # evidence split exactly as postings_pairs(overflow="chain") does:
+        # fingerprints in ≤ 32 docs all-pair, hotter ones emit the 2-hop
+        # chain over the doc-sorted run (lead() 1 and 2), shared ≥ 5 on
+        # the evidence, and the overlap verify on the FULL fingerprint
+        # sets — same contract as pipelines/textops.winnow_near_dups.
+        "winnow_near_dups": r"""
+            WITH chars AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(coalesce(text, ''), '(?s).'),
+                           c -> CAST(unicode(c) AS BIGINT)) AS cp
+                FROM documents
+            ),
+            hpos AS (
+                SELECT doc_id, cp, len(cp) - 7 AS nh,
+                       unnest(range(1, len(cp) - 6)) AS i
+                FROM chars WHERE len(cp) >= 8
+            ),
+            hashes AS (
+                SELECT doc_id, nh, i,
+                    ((((((((((((((cp[i]*131 + cp[i+1]) % 2147483647)*131
+                      + cp[i+2]) % 2147483647)*131
+                      + cp[i+3]) % 2147483647)*131 + cp[i+4]) % 2147483647)*131
+                      + cp[i+5]) % 2147483647)*131 + cp[i+6]) % 2147483647)*131
+                      + cp[i+7]) % 2147483647) AS h
+                FROM hpos
+            ),
+            wmin AS (
+                SELECT doc_id, nh, i,
+                       CASE WHEN nh <= 4 THEN h
+                            ELSE min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       END AS fp
+                FROM hashes
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, fp FROM wmin
+                WHERE nh <= 4 OR i <= nh - 3
+            ),
+            dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+            cold_pairs AS (
+                SELECT ka.doc_id AS a, kb.doc_id AS b
+                FROM fps ka
+                JOIN dfreq d ON d.fp = ka.fp AND d.df <= 32
+                JOIN fps kb ON kb.fp = ka.fp AND ka.doc_id < kb.doc_id
+            ),
+            hot_ranked AS (
+                SELECT f.doc_id,
+                       lead(f.doc_id, 1) OVER w AS d1,
+                       lead(f.doc_id, 2) OVER w AS d2
+                FROM fps f JOIN dfreq d ON d.fp = f.fp AND d.df > 32
+                WINDOW w AS (PARTITION BY f.fp ORDER BY f.doc_id)
+            ),
+            evidence AS (
+                SELECT a, b FROM cold_pairs
+                UNION ALL
+                SELECT doc_id, d1 FROM hot_ranked WHERE d1 IS NOT NULL
+                UNION ALL
+                SELECT doc_id, d2 FROM hot_ranked WHERE d2 IS NOT NULL
+            ),
+            cand AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS shared
+                FROM evidence
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, c.shared, count(*) AS it
+                FROM cand c
+                JOIN fps xa ON xa.doc_id = c.a
+                JOIN fps xb ON xb.doc_id = c.b AND xb.fp = xa.fp
+                GROUP BY 1, 2, 3
+            )
+            SELECT i.a, i.b, i.shared,
+                   round(CAST(i.it AS DOUBLE) / least(sa.sz, sb.sz), 6)
+                       AS overlap
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE round(CAST(i.it AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.5
+            ORDER BY 1, 2
+        """,
+        # the as-of sampled latency grid (event_freshness' distributed
+        # core): grid point k = the type's latest event minus k hours,
+        # kept while above the type's first event; latency = grid time −
+        # as-of predecessor, with the SAME double op order as
+        # _latency_series ((hi/1e6 − 3600·k) − pred/1e6)
+        "event_latency_grid": """
+            WITH spans AS (
+                SELECT event_type,
+                       min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+                FROM events GROUP BY event_type
+            ),
+            grid AS (
+                SELECT event_type, lo_us, hi_us, unnest(range(0, 48)) AS k
+                FROM spans
+            ),
+            g2 AS (
+                SELECT event_type, hi_us, k,
+                       hi_us - k * 3600000000 AS grid_us
+                FROM grid WHERE hi_us - k * 3600000000 > lo_us
+            ),
+            pred AS (
+                SELECT g.event_type, g.k, g.hi_us,
+                       max(epoch_us(e.ts)) AS pred_us
+                FROM g2 g JOIN events e
+                  ON e.event_type = g.event_type
+                 AND epoch_us(e.ts) <= g.grid_us
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type, CAST(k AS BIGINT) AS k,
+                   round((CAST(hi_us AS DOUBLE) / 1000000.0 - 3600.0 * k)
+                         - CAST(pred_us AS DOUBLE) / 1000000.0, 6)
+                       AS latency_s
+            FROM pred ORDER BY event_type, k
+        """,
         "ngram_jaccard_exact":
             f"WITH {_NGRAM_PAIR_CTES} {_NGRAM_PAIR_SELECT} ORDER BY 1, 2",
         # connected-components collapse of the exact pair set: recursive

@@ -146,12 +146,37 @@ def _char_kgram_hashes(text: str, k: int) -> np.ndarray:
     return h
 
 
+_KR_MOD = np.uint64(2**31 - 1)   # Mersenne prime — classic Karp-Rabin modulus
+_KR_BASE = np.uint64(131)
+
+
+def _kr_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Karp-Rabin k-gram hashes over codepoints, mod 2³¹−1 base 131.
+
+    Deliberately NOT the murmur-mixed 64-bit polynomial the shingle/LSH
+    family uses: every intermediate here fits in exact int64 arithmetic
+    (h < 2³¹, h·131 + cp < 2³⁹), so a DuckDB oracle can replicate the
+    value bit-for-bit with plain BIGINT folds — that is what makes
+    ``winnow_near_dups`` hash-checkable end-to-end.  The price is a 2³¹
+    value space: for winnowing that only merges colliding grams on both
+    sides identically (a pair needs ≥ min_shared independent collisions
+    to be invented, ~(n_fp²/2³²)^5 — negligible even at 100-TB shard
+    sizes, and collisions merely lengthen one posting list)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = codes.size - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k (=8) vectorized Horner steps, not a per-gram loop
+        h = (h * _KR_BASE + codes[j : j + n]) % _KR_MOD
+    return h
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
     """Winnowing document fingerprints (Schleimer et al. 2003): k-gram
-    rolling hashes, keep the min of each sliding window, dedup."""
+    rolling hashes, keep the min of each sliding window, dedup.  Hash =
+    :func:`_kr_kgram_hashes` (SQL-replicable; see its collision note)."""
     if text is None or len(text) < k:
         return np.empty(0, dtype=np.uint64)
-    h = _char_kgram_hashes(text, k)
+    h = _kr_kgram_hashes(text, k)
     if h.size <= window:
         return np.unique(h)
     sw = np.lib.stride_tricks.sliding_window_view(h, window)

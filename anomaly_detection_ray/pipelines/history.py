@@ -768,46 +768,27 @@ def backtest_freshness(
     return out.sort_values(["partition_id", "eval_ts"]).reset_index(drop=True)
 
 
-def event_freshness_verdicts(
+def _event_spans_cells(
     sf_dir: str,
     *,
     num_samples: int = 48,
     sample_interval_s: float = 3600.0,
-    fcfg=None,
-) -> pd.DataFrame:
-    """F7 event-latency freshness over the events table: per event_type,
-    model knobs threaded from ADR_CONFIG (``ForecastConfig.from_env()``);
-    sample hourly eval points (≥1h apart, newest kept — the reference's
-    S3 sampling rule, freshness_utils.py:234-255), latency at each point =
-    eval_time − max(event_ts ≤ eval_time) (the as-of grouped max, SURVEY
-    §2.1 series C), then train on all but the last latency and verdict the
-    last (F7, reference freshness_utils.py:258-324).
-
-    Shape: the check needs only ONE as-of predecessor per (type, grid
-    point), so no worker ever holds a type's full event stream.  Pass 1
-    pre-reduces per block to per-type (min_ts, max_ts) span partials;
-    pass 2 buckets each event's age (latest_ts − ts, integer µs) into
-    grid-aligned hour cells and pre-reduces per block to per-(type, cell)
-    MIN-age partials — suffix-min over the ≤ num_samples+1 dense cells
-    yields the exact as-of predecessor at every grid point, because cells
-    are anchored at the type's latest event: ts ≤ grid_k ⟺ age ≥ k·cell.
-    Both shuffles move O(blocks × types) blob rows; per-task memory is one
-    batch regardless of event-type skew (the r2 unbounded
-    ``groupby(event_type).map_groups`` over raw rows is gone — VERDICT r2
-    'What's wrong' #1).  Latency floats are reconstructed from the same
-    int64-µs/1e6 doubles the row-level path used, so results are
-    bit-identical (golden-pinned on the sf0.001 fixture)."""
+    num_buckets: int = 8,
+):
+    """The two distributed passes shared by :func:`event_latency_grid`
+    (the DuckDB-oracled exact twin) and :func:`event_freshness_verdicts`
+    (the F7 consumer): per-type event-time spans, then per-(type, grid
+    cell) min event ages — both as bounded blob partials (see the
+    consumer docstrings for the shape argument).  Returns
+    ``(spans, cells_by_type, interval_us, overflow)``; spans is empty
+    when the events table is."""
     import pickle
 
-    from anomaly_detection_ray.config import ForecastConfig
     from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64
-    from anomaly_detection_ray.functions.verdicts import check_event_freshness
 
-    fcfg = fcfg or ForecastConfig.from_env()
     interval_us = int(round(sample_interval_s * 1e6))
     overflow = num_samples  # ages past the grid clamp into one cell
     i64max = np.iinfo(np.int64).max
-    num_buckets = 8
     ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
 
     def _blobbed(out: pd.DataFrame) -> pd.DataFrame:
@@ -836,14 +817,7 @@ def event_freshness_verdicts(
              .groupby("bucket").map_groups(span_merge, batch_format="pandas")
              .to_pandas())
     if spans.empty:
-        return pd.DataFrame(columns=["event_type", "status", "n_samples",
-                                     "actual_latency_s", "upper_bound_s", "rule"])
-    # anchor the eval grid at the DATASET's latest event ("now"), not each
-    # type's own last event — a fully-stalled type must accumulate latency
-    # against global time or it can never look stale (reference evaluates
-    # at eval_time, freshness_utils.py:258-324).  Same arithmetic as the
-    # previous Timestamp.value/1e9 path (value is ns = µs·1000 exactly).
-    now_s = int(spans["hi_us"].max()) * 1000 / 1e9 + 60.0
+        return spans, {}, interval_us, overflow
     hi_ref = ray.put(dict(zip(spans["event_type"],
                               spans["hi_us"].astype(np.int64))))
 
@@ -872,6 +846,112 @@ def event_freshness_verdicts(
             .groupby("bucket").map_groups(age_merge, batch_format="pandas")
             .to_pandas())
     cells_by_type = dict(tuple(ages.groupby("event_type")))
+    return spans, cells_by_type, interval_us, overflow
+
+
+def _latency_series(lo_us: int, hi_us: int, cells: pd.DataFrame, *,
+                    num_samples: int, sample_interval_s: float,
+                    interval_us: int, overflow: int):
+    """Reconstruct one type's sampled latency series from its dense-cell
+    min ages: suffix-min over the cells yields the exact as-of
+    predecessor at every grid point (ts ≤ grid_k ⟺ age ≥ k·cell), and
+    latencies come out as the same int64-µs/1e6 doubles the row-level
+    path produced.  Returns ``(ks, lat)`` with ks descending (grid time
+    ascending)."""
+    i64max = np.iinfo(np.int64).max
+    ks = np.arange(num_samples - 1, -1, -1)  # ascending grid time
+    ks = ks[hi_us - ks * interval_us > lo_us]
+    dense = np.full(overflow + 1, i64max, dtype=np.int64)
+    dense[cells["cell"].to_numpy()] = cells["age_us"].to_numpy()
+    suffix = np.minimum.accumulate(dense[::-1])[::-1]
+    grid = hi_us / 1e6 - sample_interval_s * ks
+    lat = grid - (hi_us - suffix[ks]) / 1e6
+    return ks, lat
+
+
+def event_latency_grid(
+    sf_dir: str,
+    *,
+    num_samples: int = 48,
+    sample_interval_s: float = 3600.0,
+) -> pd.DataFrame:
+    """DuckDB-oracled exact twin of :func:`event_freshness_verdicts`'s
+    distributed core (the part of F7 that touches every event row): per
+    event_type and grid index k (hours before the type's latest event,
+    grid points above the type's first event only), the sampled latency
+    ``grid_time − max(event_ts ≤ grid_time)`` in seconds — the as-of
+    grouped-max series the freshness model trains on.  The SQL twin
+    computes the same thing with a range join + grouped max over raw
+    timestamps; matching hashes prove the span/age-cell partials and the
+    suffix-min as-of reconstruction exact, so the verdict layer on top
+    only needs its (pinned, pure-function) model tests.  Latencies are
+    half-away-rounded to 6 decimals on both sides."""
+    from anomaly_detection_ray.functions.text import round_half_up6
+
+    spans, cells_by_type, interval_us, overflow = _event_spans_cells(
+        sf_dir, num_samples=num_samples, sample_interval_s=sample_interval_s)
+    cols = {"event_type": "object", "k": "int64", "latency_s": "float64"}
+    if spans.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    rows = []
+    for r in spans.itertuples(index=False):
+        ks, lat = _latency_series(
+            int(r.lo_us), int(r.hi_us), cells_by_type[r.event_type],
+            num_samples=num_samples, sample_interval_s=sample_interval_s,
+            interval_us=interval_us, overflow=overflow)
+        rows.extend((r.event_type, int(k), round_half_up6(float(v)))
+                    for k, v in zip(ks, lat))
+    out = pd.DataFrame(rows, columns=list(cols))
+    return (out.astype(cols).sort_values(["event_type", "k"])
+            .reset_index(drop=True))
+
+
+def event_freshness_verdicts(
+    sf_dir: str,
+    *,
+    num_samples: int = 48,
+    sample_interval_s: float = 3600.0,
+    fcfg=None,
+) -> pd.DataFrame:
+    """F7 event-latency freshness over the events table: per event_type,
+    model knobs threaded from ADR_CONFIG (``ForecastConfig.from_env()``);
+    sample hourly eval points (≥1h apart, newest kept — the reference's
+    S3 sampling rule, freshness_utils.py:234-255), latency at each point =
+    eval_time − max(event_ts ≤ eval_time) (the as-of grouped max, SURVEY
+    §2.1 series C), then train on all but the last latency and verdict the
+    last (F7, reference freshness_utils.py:258-324).
+
+    Shape: the check needs only ONE as-of predecessor per (type, grid
+    point), so no worker ever holds a type's full event stream.  Pass 1
+    pre-reduces per block to per-type (min_ts, max_ts) span partials;
+    pass 2 buckets each event's age (latest_ts − ts, integer µs) into
+    grid-aligned hour cells and pre-reduces per block to per-(type, cell)
+    MIN-age partials — suffix-min over the ≤ num_samples+1 dense cells
+    yields the exact as-of predecessor at every grid point, because cells
+    are anchored at the type's latest event: ts ≤ grid_k ⟺ age ≥ k·cell.
+    Both shuffles move O(blocks × types) blob rows; per-task memory is one
+    batch regardless of event-type skew (the r2 unbounded
+    ``groupby(event_type).map_groups`` over raw rows is gone — VERDICT r2
+    'What's wrong' #1).  Latency floats are reconstructed from the same
+    int64-µs/1e6 doubles the row-level path used, so results are
+    bit-identical (golden-pinned on the sf0.001 fixture).  The two
+    distributed passes live in :func:`_event_spans_cells` and are
+    hash-anchored by the oracled :func:`event_latency_grid` twin."""
+    from anomaly_detection_ray.config import ForecastConfig
+    from anomaly_detection_ray.functions.verdicts import check_event_freshness
+
+    fcfg = fcfg or ForecastConfig.from_env()
+    spans, cells_by_type, interval_us, overflow = _event_spans_cells(
+        sf_dir, num_samples=num_samples, sample_interval_s=sample_interval_s)
+    if spans.empty:
+        return pd.DataFrame(columns=["event_type", "status", "n_samples",
+                                     "actual_latency_s", "upper_bound_s", "rule"])
+    # anchor the eval grid at the DATASET's latest event ("now"), not each
+    # type's own last event — a fully-stalled type must accumulate latency
+    # against global time or it can never look stale (reference evaluates
+    # at eval_time, freshness_utils.py:258-324).  Same arithmetic as the
+    # previous Timestamp.value/1e9 path (value is ns = µs·1000 exactly).
+    now_s = int(spans["hi_us"].max()) * 1000 / 1e9 + 60.0
 
     # ---- driver: O(types × num_samples) verdict assembly ------------------
     rows = []
@@ -884,8 +964,10 @@ def event_freshness_verdicts(
         # commit times, which stop when updates stop); the ACTUAL latency
         # is measured at global now.  Training on post-stall samples would
         # teach the model the stall and never flag it.
-        ks = np.arange(num_samples - 1, -1, -1)  # ascending grid time
-        ks = ks[hi_us - ks * interval_us > lo_us]
+        ks, lat = _latency_series(
+            lo_us, hi_us, cells_by_type[r.event_type],
+            num_samples=num_samples, sample_interval_s=sample_interval_s,
+            interval_us=interval_us, overflow=overflow)
         # per-type latency override (reference F9 dispatch,
         # freshness_utils.py:688-695 → check_is_fresh_event_override:
         # needs only the last event, so it bypasses the training guard)
@@ -907,12 +989,6 @@ def event_freshness_verdicts(
                          "actual_latency_s": round(actual, 1),
                          "upper_bound_s": None, "rule": "not_enough_history"})
             continue
-        cells = cells_by_type[r.event_type]
-        dense = np.full(overflow + 1, i64max, dtype=np.int64)
-        dense[cells["cell"].to_numpy()] = cells["age_us"].to_numpy()
-        suffix = np.minimum.accumulate(dense[::-1])[::-1]
-        grid = hi_f - sample_interval_s * ks
-        lat = grid - (hi_us - suffix[ks]) / 1e6
         # check_event_freshness trains on series[:-1] (the reference's
         # "all but last"), so the actual joins the series as its tail
         v = check_event_freshness(

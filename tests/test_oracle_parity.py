@@ -49,11 +49,16 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 51 oracled queries for 50 slots).  Each parked entry must
+# (there are now 53 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
     "distinct_users_exact",  # exact-distinct machinery in-window via distinct_counts
+    # groupby-count-HAVING machinery in-window via status_count_domain/daily_volume
+    "duplicate_user_event_pairs",
+    # per-row md5 map: md5 is a standard function (unit-pinned); the
+    # md5-winner semantics are in-window via the exact_dedup family
+    "doc_fingerprints",
 }
 
 

@@ -243,6 +243,13 @@ class ForecastConfig:
     acf_max_lags: int = ACF_MAX_LAGS
     min_points_before_synth: int = MIN_TRAINING_POINTS_BEFORE_SYNTH
     use_synthetic_data: bool = True
+    #: Reference use_fourier_transform (model_config.py:89-90): seasonal
+    #: structure as FourierFeaturizer harmonics on a non-seasonal model,
+    #: BIC-raced against the plain candidates (common_utils.py:307-315 +
+    #: fit_multiple_models).  The reference defaults this ON; this engine
+    #: defaults it OFF because the pinned golden verdicts adopt the
+    #: seasonal-LAG substitute (SURVEY §7.0) — flip to opt in.
+    use_fourier_transform: bool = False
     max_grace_period_minutes: int = -1  # testing hook (model_config.py:14-15)
     #: S2 probe mode (reference model_config.py:48-49, default False):
     #: when on, history selection is the 14-day window with the

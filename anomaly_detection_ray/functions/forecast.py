@@ -108,10 +108,25 @@ class ForecastResult:
     n_train: int
 
 
+def _fourier_design(t: np.ndarray, period: int, k: int) -> np.ndarray:
+    """Fourier seasonal features at time indices ``t``: k sine and k
+    cosine harmonics of ``period`` (the reference's
+    pm.preprocessing.FourierFeaturizer(m), common_utils.py:307-315 —
+    exogenous deterministic seasonality for a non-seasonal model)."""
+    t = np.asarray(t, dtype=np.float64)
+    w = 2.0 * np.pi * np.arange(1, k + 1) / period
+    ang = t[:, None] * w[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+
+
 @dataclass
 class ARModel:
     """Serializable fitted state (reference analogue: ModelParams,
-    model_config.py:145-156 — the warm-reuse checkpoint unit)."""
+    model_config.py:145-156 — the warm-reuse checkpoint unit).  ``coef``
+    holds the lag coefficients followed by 2·fourier_k Fourier
+    coefficients (sin 1..k then cos 1..k of the seasonal period); time
+    index for the Fourier features is the position in ``history``, so
+    warm ``update()`` appends keep the phase aligned."""
 
     coef: np.ndarray
     lags: tuple
@@ -121,10 +136,15 @@ class ARModel:
     min_val: float
     n_train: int
     history: np.ndarray = field(default_factory=lambda: np.empty(0))
+    fourier_k: int = 0
 
     def predict_next(self, num_std: float = NUM_STD_FOR_RESIDUALS) -> ForecastResult:
         h = self.history
         feats = np.array([h[-l] for l in self.lags]) if self.lags else np.empty(0)
+        fk = getattr(self, "fourier_k", 0)  # pre-field checkpoints lack it
+        if fk:
+            feats = np.concatenate(
+                [feats, _fourier_design(np.array([h.size]), self.period, fk)[0]])
         f = float(self.intercept + (feats @ self.coef if self.coef.size else 0.0))
         if f <= 0 and self.min_val > 0:
             # min_val clamp (reference: freshness_utils.py:199-201)
@@ -141,12 +161,21 @@ class ARModel:
 
 
 def fit_ar(x: np.ndarray, max_order: int = 3, period: int | None = None,
-           use_synth: bool = True) -> ARModel:
-    """Least-squares AR fit with drift and optional seasonal lag.
+           use_synth: bool = True, use_fourier: bool = False) -> ARModel:
+    """Least-squares AR fit with drift and optional seasonal structure.
 
     Candidate lag sets {(1..p)} ∪ seasonal lag m are scored by BIC and the
     best kept (reference's dual-fit + BIC selection, common_utils.py:344-401).
-    """
+
+    With ``use_fourier`` (the reference's use_fourier_transform path,
+    model_config.py:89-90 + common_utils.py:307-315: FourierFeaturizer
+    exogenous seasonality on a NON-seasonal model), candidates also
+    include each short lag set augmented with 2k Fourier harmonic columns
+    of the inferred period — the same BIC race then plays the reference's
+    seasonal-vs-non-seasonal fit_multiple_models selection.  Off by
+    default: the engine's pinned golden verdicts use the seasonal-LAG
+    substitute (SURVEY §7.0); flip ForecastConfig.use_fourier_transform
+    to opt in (the reference defaults it on)."""
     x = np.asarray(x, dtype=np.float64)
     x = x[~np.isnan(x)]
     if period is None:
@@ -160,43 +189,57 @@ def fit_ar(x: np.ndarray, max_order: int = 3, period: int | None = None,
         std = float(x.std()) if n > 1 else (abs(mean) if mean else 1.0)
         return ARModel(np.empty(0), (), mean, std, period, min_val, n, x.copy())
 
-    candidates: list[tuple] = [()]
+    # candidates are (lag set, fourier_k) pairs racing on one BIC scale
+    candidates: list[tuple] = [((), 0)]
+    short_lag_sets: list[tuple] = []
     for p in range(1, max_order + 1):
         if n - p >= max(4, p + 2):
-            candidates.append(tuple(range(1, p + 1)))
+            short_lag_sets.append(tuple(range(1, p + 1)))
+    candidates.extend((ls, 0) for ls in short_lag_sets)
     if period > 1 and n - period >= period + 2:
-        candidates.append((1, period))
-        candidates.append((period,))
+        candidates.append(((1, period), 0))
+        candidates.append(((period,), 0))
+    if use_fourier and period > 1:
+        # k ≤ m//2 (the FourierFeaturizer bound); cap at 4 harmonics so the
+        # parameter count stays sane on short series
+        fk = min(4, period // 2)
+        if fk >= 1:
+            candidates.extend((ls, fk) for ls in [(), *short_lag_sets])
 
     best = None
-    for lags in candidates:
+    for lags, fk in candidates:
         maxlag = max(lags) if lags else 0
         rows = n - maxlag
-        if rows < len(lags) + 2:
+        ncols = len(lags) + 2 * fk + 1
+        if rows < ncols + 1:
             continue
-        X = np.ones((rows, len(lags) + 1))
+        X = np.ones((rows, ncols))
         for j, l in enumerate(lags):
             X[:, j + 1] = x[maxlag - l : n - l]
+        if fk:
+            X[:, len(lags) + 1 :] = _fourier_design(
+                np.arange(maxlag, n), period, fk)
         y = x[maxlag:]
         coef, *_ = np.linalg.lstsq(X, y, rcond=None)
         resid = y - X @ coef
         sse = float((resid**2).sum())
-        k = len(lags) + 1
+        k = ncols
         sigma2 = max(sse / rows, 1e-12)
         bic = rows * np.log(sigma2) + k * np.log(rows)
         if best is None or bic < best[0]:
             std = float(np.sqrt(sigma2))
-            best = (bic, lags, coef, std)
-    _, lags, coef, std = best
+            best = (bic, lags, fk, coef, std)
+    _, lags, fk, coef, std = best
     return ARModel(np.asarray(coef[1:]), lags, float(coef[0]), std, period,
-                   min_val, n, x.copy())
+                   min_val, n, x.copy(), fourier_k=fk)
 
 
 def forecast_next(x: np.ndarray, max_order: int = 3,
                   num_std: float = NUM_STD_FOR_RESIDUALS,
-                  use_synth: bool = True) -> ForecastResult:
+                  use_synth: bool = True, use_fourier: bool = False) -> ForecastResult:
     """Fit + one-step forecast with ±num_std·σ_resid interval (F5)."""
-    return fit_ar(x, max_order=max_order, use_synth=use_synth).predict_next(num_std)
+    return fit_ar(x, max_order=max_order, use_synth=use_synth,
+                  use_fourier=use_fourier).predict_next(num_std)
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,7 @@ def check_commit_freshness(
     static_age_seconds: float = STATIC_TABLE_AGE_SECONDS,
     max_grace_period_minutes: int = -1,
     num_std: float = NUM_STD_FOR_RESIDUALS,
+    use_fourier: bool = False,
 ) -> FreshnessVerdict:
     """The freshness dispatcher (reference F12, freshness_utils.py:661-752):
     static? → constant override? → AR forecast of the next inter-commit
@@ -184,7 +185,7 @@ def check_commit_freshness(
 
     durations = np.diff(ts)[-MAX_COMMIT_TRAINING_POINTS:]
     try:
-        model = fit_ar(durations)
+        model = fit_ar(durations, use_fourier=use_fourier)
     except Exception:
         return FreshnessVerdict(UNKNOWN, last_update_ts=last,
                                 error_code=ERR_FAILED_TO_FIT)
@@ -226,6 +227,7 @@ def check_event_freshness(
     constant_threshold_seconds: Optional[float] = None,
     max_grace_period_minutes: int = -1,
     num_std: float = NUM_STD_FOR_RESIDUALS,
+    use_fourier: bool = False,
 ) -> FreshnessVerdict:
     """Event-latency freshness (reference F7/F9, freshness_utils.py:350-428,
     613-658): train on historical latencies, Fresh iff the actual latest
@@ -244,7 +246,7 @@ def check_event_freshness(
     if lat.size < 3:
         return FreshnessVerdict(UNKNOWN, error_code=ERR_NOT_ENOUGH_HISTORY)
     try:
-        res = fit_ar(lat[:-1]).predict_next(num_std)
+        res = fit_ar(lat[:-1], use_fourier=use_fourier).predict_next(num_std)
     except Exception:
         return FreshnessVerdict(UNKNOWN, error_code=ERR_FAILED_TO_FIT)
     grace = event_grace_seconds(lat[:-1])
@@ -286,6 +288,7 @@ def check_completeness(
     num_commits: int | None = None,
     constant_threshold: Optional[float] = None,
     num_std: float = NUM_STD_FOR_RESIDUALS,
+    use_fourier: bool = False,
 ) -> CompletenessVerdict:
     """Completeness rule (reference F13/F14, completeness_utils.py:81-237):
 
@@ -313,7 +316,7 @@ def check_completeness(
             debug={"rule": "constant_threshold"},
         )
     try:
-        res = fit_ar(vols[:-1]).predict_next(num_std)
+        res = fit_ar(vols[:-1], use_fourier=use_fourier).predict_next(num_std)
     except Exception:
         return CompletenessVerdict(UNKNOWN, actual, error_code=ERR_FAILED_TO_FIT)
     lower = max(int(res.lower), 0)

@@ -203,7 +203,8 @@ def freshness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL_TS
                 ts, eval_ts,
                 constant_threshold_seconds=fcfg.freshness_threshold_overrides.get(pid),
                 max_grace_period_minutes=fcfg.max_grace_period_minutes,
-                num_std=fcfg.num_std_for_residuals, **static_kw)
+                num_std=fcfg.num_std_for_residuals,
+                use_fourier=fcfg.use_fourier_transform, **static_kw)
             return pd.DataFrame([{
                 "partition_id": pid,
                 "status": v.status,
@@ -258,7 +259,8 @@ def completeness_verdicts(history_dir: str | None = None, eval_ts: float = _EVAL
             dense = dense[::-1]  # ascending time order (oldest→latest day)
         v = check_completeness(
             dense, num_commits=int(bucket.size),
-            constant_threshold=fcfg.completeness_threshold_overrides.get(pid))
+            constant_threshold=fcfg.completeness_threshold_overrides.get(pid),
+            use_fourier=fcfg.use_fourier_transform)
         return pd.DataFrame([{
             "partition_id": pid,
             "status": v.status,
@@ -994,7 +996,8 @@ def event_freshness_verdicts(
         v = check_event_freshness(
             np.append(lat, actual), float(actual),
             max_grace_period_minutes=fcfg.max_grace_period_minutes,
-            num_std=fcfg.num_std_for_residuals)
+            num_std=fcfg.num_std_for_residuals,
+            use_fourier=fcfg.use_fourier_transform)
         rows.append({
             "event_type": r.event_type,
             "status": v.status,

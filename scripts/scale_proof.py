@@ -159,15 +159,24 @@ def run_docs(n_docs: int, n_vecs: int) -> dict:
     from anomaly_detection_ray.pipelines.textops import (
         minhash_near_dups,
         simhash_near_dups,
+        winnow_near_dups,
     )
-    from anomaly_detection_ray.pipelines.vectors import knn_label_counts
+    from anomaly_detection_ray.pipelines.vectors import (
+        embedding_near_dups,
+        knn_label_counts,
+    )
     from anomaly_detection_ray.sources.synth import docs_scale_dir
 
     d = docs_scale_dir(n_docs, n_vecs)
     out: dict = {"n_docs": n_docs, "n_vecs": n_vecs}
     with WorkerRssMonitor() as mon:
+        # winnow + embedding are the r5-fixed candidate generators (chain
+        # overflow / banded hyperplane LSH): their walls and row counts
+        # scaling sanely 1x->10x is the bounded-bucket-overflow evidence
         for name, fn in (("minhash_near_dups", minhash_near_dups),
                          ("simhash_near_dups", simhash_near_dups),
+                         ("winnow_near_dups", winnow_near_dups),
+                         ("embedding_near_dups", embedding_near_dups),
                          ("knn_label_counts", knn_label_counts)):
             t0 = time.perf_counter()
             r = fn(d)

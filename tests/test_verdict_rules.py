@@ -188,6 +188,57 @@ class TestForecaster:
         assert 80 < m.predict_next().forecast < 120
 
 
+class TestFourierPath:
+    """Reference use_fourier_transform parity (model_config.py:89-90 +
+    common_utils.py:307-315): Fourier harmonics of the ACF-inferred period
+    race the plain/seasonal-lag candidates on BIC (fit_multiple_models)."""
+
+    def _seasonal(self, n=120, period=12):
+        t = np.arange(n, dtype=float)
+        noise = np.sin(t * 977.0) * 1.5  # deterministic pseudo-noise
+        return 100.0 + 30.0 * np.sin(2 * np.pi * t / period) + noise, t
+
+    def test_fourier_wins_on_seasonal_series(self):
+        x, t = self._seasonal()
+        m = fit_ar(x, use_fourier=True, use_synth=False)
+        assert m.fourier_k >= 1
+        plain = fit_ar(x, use_fourier=False, use_synth=False)
+        assert m.residual_std < plain.residual_std
+        truth = 100.0 + 30.0 * np.sin(2 * np.pi * len(x) / 12)
+        assert abs(m.predict_next().forecast - truth) < 8.0
+
+    def test_warm_update_keeps_phase(self):
+        x, t = self._seasonal()
+        m = fit_ar(x, use_fourier=True, use_synth=False)
+        nxt = np.array([100.0 + 30.0 * np.sin(2 * np.pi * len(x) / 12)])
+        m.update(nxt)
+        truth = 100.0 + 30.0 * np.sin(2 * np.pi * (len(x) + 1) / 12)
+        assert abs(m.predict_next().forecast - truth) < 8.0
+
+    def test_non_seasonal_series_stays_plain(self):
+        x = rng.normal(500, 10, 300)  # period inferred 1 -> no harmonics
+        m = fit_ar(x, use_fourier=True)
+        assert m.fourier_k == 0
+
+    def test_default_path_unchanged(self):
+        x = np.tile([10, 20, 30, 40, 50, 60, 70], 30) + rng.normal(0, 0.3, 210)
+        a = fit_ar(x)
+        b = fit_ar(x, use_fourier=False)
+        assert a.fourier_k == 0 and b.fourier_k == 0
+        assert np.array_equal(a.coef, b.coef) and a.lags == b.lags
+
+    def test_checker_passthrough_and_config_roundtrip(self):
+        from anomaly_detection_ray.config import ForecastConfig
+        from anomaly_detection_ray.functions.verdicts import check_completeness
+
+        x, _ = self._seasonal(n=60)
+        v = check_completeness(np.append(x, 100.0), num_commits=60,
+                               use_fourier=True)
+        assert v.status in ("Healthy", "Unhealthy")
+        cfg = ForecastConfig(use_fourier_transform=True)
+        assert ForecastConfig.from_dict(cfg.to_dict()).use_fourier_transform
+
+
 def test_format_duration():
     # reference M6 semantics (freshness_utils.py:58-81)
     assert format_duration(None) is None

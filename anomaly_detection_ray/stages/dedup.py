@@ -709,15 +709,19 @@ def minhash_candidate_pairs_ds(
         import logging
 
         parts = [pickle.loads(x) for x in g["blob"]]
-        out, dropped = postings_pairs(
+        out, chained = postings_pairs(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
-            cap=max_bucket, overflow="truncate")
-        if dropped:  # no silent caps: surface truncated candidate mass
-            logging.getLogger(__name__).warning(
-                "minhash LSH bucket cap (%d) dropped %d docs from oversized "
-                "buckets — near-dup recall is reduced for those",
-                max_bucket, dropped)
+            cap=max_bucket, overflow="chain")
+        if chained:  # no silent caps: chain keeps every doc reachable
+            logging.getLogger(__name__).info(
+                "minhash LSH hot-bucket chain mode: %d doc slots pair "
+                "consecutively instead of all-pairs (cap %d) — a boilerplate "
+                "cluster lands in the same bucket in EVERY band, so its "
+                "id-sorted chain links repeat across bands, accumulate "
+                "band counts, and keep the cluster connected for collapse "
+                "(the old truncate mode dropped docs beyond the cap)",
+                chained, max_bucket)
         return out.rename(columns={"shared": "bands"})[["a", "b", "bands"]]
 
     from anomaly_detection_ray.pipelines.relational import grouped_sums

@@ -220,6 +220,37 @@ class TestDedup:
         exact_expected = {p for p in expected if p[1] >= 200}
         assert exact_expected <= found
 
+    def test_minhash_hot_bucket_stays_reachable(self):
+        """Same reachability contract for the minhash LSH buckets: a
+        boilerplate cluster larger than the 64-doc bucket cap lands in one
+        bucket in EVERY band, so the id-sorted chain links must keep it
+        one component (the old truncate dropped docs beyond the cap)."""
+        n_hot = 100
+        boiler = "terms of service apply to all users of this web site " * 4
+        rows = [{"doc_id": i, "text": boiler} for i in range(n_hot)]
+        g = np.random.default_rng(11)
+        vocab = np.array("one two three four five six seven eight nine ten "
+                         "red blue green yellow black white".split())
+        rows += [{"doc_id": 1000 + i, "text": " ".join(g.choice(vocab, 40))}
+                 for i in range(20)]
+        pairs = minhash_near_duplicates(rd.from_pandas(pd.DataFrame(rows)),
+                                        "text", "doc_id", threshold=0.8)
+        parent = {i: i for i in range(n_hot)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+            if a < n_hot and b < n_hot:
+                parent[find(a)] = find(b)
+        roots = {find(i) for i in range(n_hot)}
+        assert len(roots) == 1, (
+            f"hot cluster split into {len(roots)} components — chain mode "
+            "must keep every doc reachable")
+
     def test_simhash_hot_bucket_stays_reachable(self):
         """A duplicate cluster larger than the 64-doc band-bucket cap must
         stay one connected component through the chain-mode pairs (the old

@@ -534,13 +534,20 @@ class _HyperplaneBands:
         return S @ weights  # (n, bands) int64, < 2^r
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95, *,
+def embedding_near_dups(sf_dir: str, threshold: float = 0.45, *,
                         total_bits: int = 128, num_buckets: int = 16,
                         max_bucket: int = 256,
                         broadcast_limit: int = 25_000) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via banded random-hyperplane
     LSH (rows-only; anchored by the oracled :func:`embedding_pairs_exact`
     twin and a planted-recall test).
+
+    The default threshold MATCHES the exact twin's corpus-calibrated 0.45
+    (the driver corpus has no 0.95-cosine planted dups — see the twin's
+    docstring), so the two queries() entries answer the same question and
+    the twin's row set directly bounds this one's recall on real data;
+    dedup-grade use cases pass threshold=0.95 explicitly (the planted
+    test and the scale-proof phase do).
 
     Scale shape mirrors the minhash family (VERDICT r4 #1 replaced the
     single 8-bit code + 256-vector bucket truncate, whose recall collapsed

@@ -176,7 +176,10 @@ def run_docs(n_docs: int, n_vecs: int) -> dict:
         for name, fn in (("minhash_near_dups", minhash_near_dups),
                          ("simhash_near_dups", simhash_near_dups),
                          ("winnow_near_dups", winnow_near_dups),
-                         ("embedding_near_dups", embedding_near_dups),
+                         # dedup-grade threshold: the corpus-calibrated
+                         # default (0.45) measures search, not dedup
+                         ("embedding_near_dups",
+                          lambda d: embedding_near_dups(d, threshold=0.95)),
                          ("knn_label_counts", knn_label_counts)):
             t0 = time.perf_counter()
             r = fn(d)

@@ -551,6 +551,25 @@ class TestEmbeddingNearDups:
         out = embedding_pairs_exact(d, threshold=0.95)
         assert set(zip(out["a"], out["b"])) == planted
 
+    def test_lsh_recall_on_driver_corpus(self, ray_session):
+        """At the corpus-calibrated DEFAULT threshold (0.45 — same as the
+        exact twin's), LSH recall on the real driver testdata must hold:
+        the two queries() entries answer the same question, so the
+        driver's rows-only snapshot of embedding_near_dups is directly
+        bounded by the oracled exact twin."""
+        from anomaly_detection_ray.pipelines.vectors import (
+            embedding_near_dups,
+            embedding_pairs_exact,
+        )
+
+        d = "/root/testdata/sf0.001"
+        exact = set(map(tuple,
+                        embedding_pairs_exact(d)[["a", "b"]].to_numpy()))
+        lsh = embedding_near_dups(d)
+        got = set(map(tuple, lsh[["a", "b"]].to_numpy())) if len(lsh) else set()
+        assert got <= exact
+        assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
+
     def test_lsh_recall_against_exact(self, planted_dir, ray_session):
         from anomaly_detection_ray.pipelines.vectors import (
             embedding_near_dups,

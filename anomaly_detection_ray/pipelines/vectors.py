@@ -536,7 +536,7 @@ class _HyperplaneBands:
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45, *,
                         total_bits: int = 128, num_buckets: int = 16,
-                        max_bucket: int = 256,
+                        max_bucket: int = 256, min_shared_bands: int = 1,
                         broadcast_limit: int = 25_000) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs via banded random-hyperplane
     LSH (rows-only; anchored by the oracled :func:`embedding_pairs_exact`
@@ -607,8 +607,17 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45, *,
     per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
                                  batch_size=65536)
                   .groupby("k").map_groups(pairs, batch_format="pandas"))
+    # min_shared_bands ≥ 2 is the same principled background prune the
+    # minhash family uses (stages/dedup.py:minhash_candidate_pairs_ds):
+    # at low cosine thresholds the sign-LSH S-curve's tail floods verify
+    # with near-orthogonal pairs (random 64-dim pairs hit ~2 of 32 r=4
+    # bands in expectation); requiring ≥ k band agreements cuts that tail
+    # at a computable recall cost on the S-curve.  Default 1 = no prune
+    # (the corpus-calibrated search threshold wants max recall and the
+    # verify pass is exact anyway).
     cand = grouped_sums(per_bucket, ["a", "b"], ["bands"]).map_batches(
-        lambda df: df[["a", "b"]], batch_format="pandas").materialize()
+        lambda df: df[df["bands"] >= min_shared_bands][["a", "b"]],
+        batch_format="pandas").materialize()
     if cand.count() == 0:
         return empty
 

@@ -582,6 +582,13 @@ class TestEmbeddingNearDups:
         got = set(map(tuple, lsh[["a", "b"]].to_numpy())) if len(lsh) else set()
         assert got <= exact                      # LSH can miss, never invent
         assert len(got) >= 0.8 * len(exact)      # recall bar on planted dups
+        # the minhash-style background prune keeps planted recall: a
+        # 0.95+ pair hits ~15 of 16 r=8 bands in expectation, so >= 2
+        # band agreements is a near-free filter at dedup thresholds
+        pruned = embedding_near_dups(d, threshold=0.95, min_shared_bands=2)
+        got2 = set(map(tuple, pruned[["a", "b"]].to_numpy())) if len(pruned) else set()
+        assert got2 <= exact
+        assert len(got2) >= 0.8 * len(exact)
 
 
 class TestFactDimRollup:

@@ -761,7 +761,8 @@ def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
     return simhash_near_duplicates(ds, "text", "doc_id", max_hamming=3)
 
 
-def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5) -> pd.DataFrame:
+def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5,
+                     *, num_buckets: int = 64) -> pd.DataFrame:
     """Winnowing (MOSS-style) near-dup detection: per-doc rolling-hash
     fingerprint sets, inverted to (fingerprint → docs) via the
     blob-combiner shuffle (a fingerprint always lands in one bucket, so
@@ -777,13 +778,18 @@ def winnow_near_dups(sf_dir: str, min_shared: int = 5, min_overlap: float = 0.5)
     doc order, the whole pipeline is hash-checkable: the DuckDB oracle
     (`__ray_entry__.oracle_sql()["winnow_near_dups"]`) replays the
     Karp-Rabin winnowing, the all-pairs/chain split, and the full-set
-    `overlap` verify exactly (chain via lead() window functions)."""
+    `overlap` verify exactly (chain via lead() window functions).
+
+    ``num_buckets`` is the reducer fan-out of the fingerprint-postings
+    exchange (a fingerprint lands in exactly ONE bucket, so any fan-out is
+    exact); size it so one bucket's postings fit a worker — at 100-TB
+    corpora raise it to O(cluster cores), the 64 default just keeps small
+    runs from fragmenting."""
     import pickle
 
     from anomaly_detection_ray.functions.hashing import blob_rows_frame, hash64 as _h64
     from anomaly_detection_ray.functions.text import round_half_up6, winnow_fingerprints
 
-    num_buckets = 16
     max_docs_per_fp = 32
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 

@@ -19,6 +19,31 @@ def _is_lance(path: str) -> bool:
     return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
 
 
+def _clean_parquet_schema(path: str):
+    """Footer schema with file-level metadata dropped.  Parquet files
+    written by pandas carry a ``pandas`` metadata dict that makes
+    ``pa.Schema`` unhashable; Ray Data's schema-dedup fast path then logs
+    a "Failed to hash the schemas" warning on every block split/union
+    (ray/data/_internal/arrow_ops/transform_pyarrow.py:181).  The metadata
+    carries nothing this engine consumes — dtypes live in the Arrow schema
+    proper — so reads pass an explicit metadata-free schema down to the
+    scan (one local footer read on the driver; returns None for
+    multi-file dirs with no parquet or unreadable footers, falling back
+    to Ray's own inference)."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(x for x in os.listdir(path) if x.endswith(".parquet"))
+        if not parts:
+            return None
+        f = os.path.join(path, parts[0])
+    try:
+        return pq.read_schema(f).remove_metadata()
+    except Exception:
+        return None
+
+
 def read_table(
     path: str,
     *,
@@ -66,6 +91,17 @@ def read_table(
             ds = ds.map_batches(lambda t, _f=filter: t.filter(_f),
                                 batch_format="pyarrow")
         return ds.select_columns(list(columns)) if columns else ds
+    if "schema" not in kwargs:
+        clean = _clean_parquet_schema(path)
+        if clean is not None and columns:
+            # the explicit schema must match the pruned projection
+            import pyarrow as pa
+
+            names = set(clean.names)
+            clean = (pa.schema([clean.field(c) for c in columns])
+                     if all(c in names for c in columns) else None)
+        if clean is not None:
+            kwargs["schema"] = clean
     return ray.data.read_parquet(
         path,
         columns=list(columns) if columns else None,

@@ -133,10 +133,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "ngram_jaccard_exact": textops.ngram_jaccard_exact,
         "near_dup_dedup_exact": textops.near_dup_dedup_exact,
-        "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
         # winnowing is fully hash-checkable: Karp-Rabin mod 2³¹−1 k-gram
         # hashes + window-mins + the MOSS df-cap replay exactly in BIGINT SQL
         "winnow_near_dups": textops.winnow_near_dups,
+        # simhash is fully hash-checkable too: per-token Karp-Rabin mod 2⁶⁴
+        # + SplitMix64 (functions/hashing.kr64_token_hashes) replays in
+        # HUGEINT/UBIGINT SQL, so the banded LSH + hot-bucket chain + the
+        # Hamming≤3 verify are all value-hash oracled (winnow precedent)
+        "simhash_near_dups": textops.simhash_near_dups,
         "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
         "sequence_pack_manifest": textops.sequence_pack_manifest,
         # vectors (oracled)
@@ -172,12 +176,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": relational.distinct_users_exact,
         "duplicate_user_event_pairs": relational.duplicate_user_event_pairs,
         "doc_fingerprints": textops.doc_fingerprints,
+        # parked for simhash_near_dups: the star-contraction components
+        # machinery is in-window via near_dup_dedup_exact (same recursive
+        # CTE collapse); the size histogram on top is one grouped count
+        "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
         "minhash_near_dups": textops.minhash_near_dups,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "near_dup_dedup_docs": textops.near_dup_dedup_docs,
-        "simhash_near_dups": textops.simhash_near_dups,
         "knn_label_counts": vectors.knn_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
@@ -497,6 +504,142 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE round(CAST(i.it AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.5
+            ORDER BY 1, 2
+        """,
+        # SimHash (Charikar 2002) replayed in SQL, bit-for-bit against
+        # stages/dedup.SimHashStage + simhash_near_duplicates: per-token
+        # Karp-Rabin codepoint polynomial mod 2⁶⁴ finalized with SplitMix64
+        # (functions/hashing.kr64_token_hashes — mul-mod-2⁶⁴ done via the
+        # 32-bit-split HUGEINT trick, xor/shift on UBIGINT), unit-weight
+        # per-bit majority votes (bit set ⇔ 2·count > n_tokens; empty docs
+        # hash to 0), 4×16-bit bands, and the postings split exactly as the
+        # pipeline's: band values on ≤ 64 docs all-pair, hotter ones emit
+        # the 2-hop chain over the (simhash, doc_id)-sorted run (lead() 1
+        # and 2), Hamming ≤ 3 verified on the full 64-bit hashes.  RE2's
+        # ASCII \w matches Python's Unicode \w on this corpus (ASCII-only).
+        "simhash_near_dups": r"""
+            WITH RECURSIVE
+            dtok AS (
+                SELECT DISTINCT unnest(regexp_extract_all(
+                    lower(coalesce(text, '')), '\w+')) AS tok
+                FROM documents
+            ),
+            mx AS (SELECT max(length(tok)) AS m FROM dtok),
+            pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT m FROM mx) - 1
+            ),
+            tpos AS (
+                SELECT tok, length(tok) AS L,
+                       unnest(range(1, length(tok) + 1)) AS i
+                FROM dtok
+            ),
+            kr AS (
+                SELECT tok,
+                       CAST(sum(CAST(unicode(substring(tok, i, 1)) AS HUGEINT)
+                                * pw.v)
+                            % 18446744073709551616 AS HUGEINT) AS z
+                FROM tpos JOIN pw ON pw.k = tpos.L - tpos.i
+                GROUP BY tok
+            ),
+            s0 AS (SELECT tok,
+                          (z + 11400714819323198485) % 18446744073709551616
+                              AS z
+                   FROM kr),
+            s1 AS (SELECT tok,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+                   FROM s0),
+            s2 AS (SELECT tok,
+                          ((z % 4294967296) * 13787848793156543929
+                           + (((z // 4294967296) * 13787848793156543929)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s1),
+            s3 AS (SELECT tok,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+                   FROM s2),
+            s4 AS (SELECT tok,
+                          ((z % 4294967296) * 10723151780598845931
+                           + (((z // 4294967296) * 10723151780598845931)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s3),
+            th AS (SELECT tok,
+                          xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31)
+                              AS h
+                   FROM s4),
+            tcnt AS (
+                SELECT doc_id, tok, count(*) AS cnt
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(
+                                 lower(coalesce(text, '')), '\w+')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            votes AS (
+                SELECT t.doc_id, bits.i,
+                       sum(CASE WHEN (th.h >> bits.i) & 1 = 1
+                                THEN t.cnt ELSE 0 END) AS c1,
+                       sum(t.cnt) AS n
+                FROM tcnt t
+                JOIN th ON th.tok = t.tok
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+                GROUP BY 1, 2
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN 2 * c1 > n
+                                     THEN CAST(CAST(1 AS UBIGINT) << i
+                                               AS HUGEINT)
+                                     ELSE 0 END) AS UBIGINT) AS sh
+                FROM votes GROUP BY doc_id
+            ),
+            sh AS (
+                SELECT d.doc_id, coalesce(s.sh, CAST(0 AS UBIGINT)) AS sh
+                FROM documents d LEFT JOIN sh0 s ON s.doc_id = d.doc_id
+            ),
+            bands AS (
+                SELECT doc_id, sh, b.b,
+                       (sh >> CAST(16 * b.b AS UBIGINT)) & 65535 AS bv
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+            ),
+            dfreq AS (SELECT b, bv, count(*) AS df FROM bands GROUP BY 1, 2),
+            cold AS (
+                SELECT ka.doc_id AS a, kb.doc_id AS b,
+                       bit_count(xor(ka.sh, kb.sh)) AS hamming
+                FROM bands ka
+                JOIN dfreq d ON d.b = ka.b AND d.bv = ka.bv AND d.df <= 64
+                JOIN bands kb ON kb.b = ka.b AND kb.bv = ka.bv
+                             AND ka.doc_id < kb.doc_id
+            ),
+            hot AS (
+                SELECT f.doc_id, f.sh,
+                       lead(f.doc_id, 1) OVER w AS d1,
+                       lead(f.sh, 1) OVER w AS h1,
+                       lead(f.doc_id, 2) OVER w AS d2,
+                       lead(f.sh, 2) OVER w AS h2
+                FROM bands f
+                JOIN dfreq d ON d.b = f.b AND d.bv = f.bv AND d.df > 64
+                WINDOW w AS (PARTITION BY f.b, f.bv ORDER BY f.sh, f.doc_id)
+            ),
+            allp AS (
+                SELECT a, b, hamming FROM cold
+                UNION ALL
+                SELECT least(doc_id, d1), greatest(doc_id, d1),
+                       bit_count(xor(sh, h1))
+                FROM hot WHERE d1 IS NOT NULL
+                UNION ALL
+                SELECT least(doc_id, d2), greatest(doc_id, d2),
+                       bit_count(xor(sh, h2))
+                FROM hot WHERE d2 IS NOT NULL
+            )
+            SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(hamming AS BIGINT) AS hamming
+            FROM allp WHERE hamming <= 3
             ORDER BY 1, 2
         """,
         # the as-of sampled latency grid (event_freshness' distributed

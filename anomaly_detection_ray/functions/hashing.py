@@ -37,6 +37,59 @@ def _to_numpy(values) -> np.ndarray:
     return arr
 
 
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
+#: Karp-Rabin base for :func:`kr64_token_hashes` — the FNV-64 prime (odd,
+#: full-period multiplier mod 2^64).
+KR64_BASE = np.uint64(1099511628211)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele/Lea/Flood, public-domain constants) over
+    a uint64 array.  Used where a hash must be BOTH high-quality per bit
+    (simhash majority votes read all 64 bits) AND exactly replayable in
+    DuckDB SQL: every step is xor / right-shift / add / multiply mod 2^64,
+    which DuckDB expresses with UBIGINT xor()/>> and HUGEINT modular
+    arithmetic (see the ``simhash_near_dups`` oracle in __ray_entry__.py).
+    ``pd.util.hash_array`` (SipHash-style, 4-round ARX on the byte stream)
+    has no such SQL twin."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + _SM64_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM64_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM64_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def kr64_token_hashes(tokens) -> np.ndarray:
+    """One uint64 hash per (non-empty) token string: codepoint Karp-Rabin
+    polynomial ``sum(cp_i * KR64_BASE^(L-1-i)) mod 2^64`` finalized with
+    :func:`splitmix64`.  Fully vectorized — ONE utf-32 decode of the
+    concatenated tokens, a power table, and one ``np.add.reduceat``; no
+    per-token Python beyond ``len``.  The polynomial alone is a weak hash
+    (low bits depend on few chars); the SplitMix64 finalizer restores
+    per-bit quality, and both halves replay exactly in SQL."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), count=n, dtype=np.int64)
+    cps = np.frombuffer("".join(tokens).encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    tok_idx = np.repeat(np.arange(n), lens)
+    # char at global index g of token k carries exponent end_k - 1 - g
+    exps = ((starts + lens)[tok_idx] - 1 - np.arange(cps.size))
+    pw = np.empty(max(int(lens.max()), 1), dtype=np.uint64)
+    pw[0] = 1
+    with np.errstate(over="ignore"):
+        for j in range(1, pw.size):
+            pw[j] = pw[j - 1] * KR64_BASE
+        kr = np.add.reduceat(cps * pw[exps], starts)
+    return splitmix64(kr)
+
+
 def hash64(values, key: str = _KEY1) -> np.ndarray:
     """Deterministic uint64 hash of each element (vectorized)."""
     arr = _to_numpy(values)

@@ -37,6 +37,7 @@ from anomaly_detection_ray.functions.hashing import (
     bucket_of,
     combine_columns,
     hash64,
+    kr64_token_hashes,
 )
 from anomaly_detection_ray.functions.text import char_shingle_hashes, jaccard, word_ngram_sets
 from anomaly_detection_ray.state.sketches import (
@@ -1187,8 +1188,10 @@ class SimHashStage:
         tok_lists = [re.findall(r"\w+", (t or "").lower()) for t in texts]
         sizes = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
         flat = [w for tk in tok_lists for w in tk]
-        concat = (hash64(np.array(flat, dtype=object)) if flat
-                  else np.empty(0, dtype=np.uint64))
+        # KR+SplitMix64 (not pd.util.hash_array): bit-identical replay in
+        # DuckDB makes the whole simhash pipeline value-hash oracled —
+        # the winnow_near_dups precedent applied to this family
+        concat = kr64_token_hashes(flat)
         out = simhash64_concat(concat, sizes)
         cols = {"doc_id": batch[self.id_col], "simhash": pa.array(out.astype(np.int64))}
         for b in range(4):

@@ -49,7 +49,7 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 53 oracled queries for 50 slots).  Each parked entry must
+# (there are now 54 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
@@ -59,6 +59,10 @@ _PARKED_ORACLED = {
     # per-row md5 map: md5 is a standard function (unit-pinned); the
     # md5-winner semantics are in-window via the exact_dedup family
     "doc_fingerprints",
+    # star-contraction components machinery in-window via
+    # near_dup_dedup_exact (same recursive-CTE collapse); the size
+    # histogram on top is one grouped count (in-window via daily_volume)
+    "near_dup_cluster_sizes",
 }
 
 

@@ -281,6 +281,40 @@ class TestDedup:
             f"hot cluster split into {len(roots)} components — chain mode "
             "must keep every doc reachable")
 
+    def test_simhash_sql_oracle_parity_on_hot_corpus(self):
+        """The DuckDB oracle replays the pipeline bit-for-bit INCLUDING the
+        hot-bucket chain split (sf0.001/sf0.01 have no >64-doc band values,
+        so the parity suite alone never exercises the lead() branch)."""
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        g = np.random.default_rng(7)
+        base = ("the quick brown fox jumps over the lazy dog while data "
+                "flows through ray pipelines at scale").split()
+        rows = []
+        for i in range(80):  # hot: near-identical docs share band values
+            w = list(base)
+            if g.random() < 0.5:
+                w[g.integers(len(w))] = f"zq{g.integers(3)}"
+            rows.append({"doc_id": i, "text": " ".join(w)})
+        rows += [{"doc_id": 100 + i, "text": ""} for i in range(70)]  # sh=0
+        vocab = np.array("alpha beta gamma delta eps zeta eta theta".split())
+        rows += [{"doc_id": 200 + i, "text": " ".join(g.choice(vocab, 12))}
+                 for i in range(30)]
+        docs = pd.DataFrame(rows)
+
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.sql(entry.oracle_sql()["simhash_near_dups"]).df()
+        got = simhash_near_duplicates(
+            rd.from_pandas(docs).repartition(6), "text", "doc_id",
+            max_hamming=3)
+        assert len(want) > 100  # the chain branch actually fired
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "hamming"]].astype("int64").reset_index(drop=True),
+            want.reset_index(drop=True))
+
 
 class TestReferential:
     def test_bloom_no_false_negatives(self):

@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HUGEINT/UBIGINT SQL, so the banded LSH + hot-bucket chain + the
         # Hamming≤3 verify are all value-hash oracled (winnow precedent)
         "simhash_near_dups": textops.simhash_near_dups,
+        # ...and so is the flagship MinHash-LSH path: the shingle hash is
+        # poly-mod-2⁶⁴ + a murmur finalizer (ARX — SQL-replayable), and
+        # one-perm signatures, rotation densification, band folding, the
+        # hot-bucket chain and the est-gated exact-Jaccard verify all
+        # replay in HUGEINT/UBIGINT SQL
+        "minhash_near_dups": textops.minhash_near_dups,
         "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
         "sequence_pack_manifest": textops.sequence_pack_manifest,
         # vectors (oracled)
@@ -148,7 +154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_exact_label_counts": vectors.knn_exact_label_counts,
         "embedding_pairs_exact": vectors.embedding_pairs_exact,
         "label_centroids": vectors.label_centroids,
-        "embedding_quantize": vectors.embedding_quantize,
         # quantiles / histogram / drift / detectors (oracled)
         "value_quantiles_exact": history.value_quantiles_exact,
         "value_quantiles_by_type_exact": history.value_quantiles_by_type_exact,
@@ -180,9 +185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery is in-window via near_dup_dedup_exact (same recursive
         # CTE collapse); the size histogram on top is one grouped count
         "near_dup_cluster_sizes": textops.near_dup_cluster_sizes,
+        # parked for minhash_near_dups: a pure per-row vectorized map (no
+        # distributed machinery); the int8 quantize math is unit-pinned
+        # and the map_batches shape is in-window via every other query
+        "embedding_quantize": vectors.embedding_quantize,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
-        "minhash_near_dups": textops.minhash_near_dups,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "near_dup_dedup_docs": textops.near_dup_dedup_docs,
         "knn_label_counts": vectors.knn_label_counts,
@@ -640,6 +648,197 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    CAST(hamming AS BIGINT) AS hamming
             FROM allp WHERE hamming <= 3
+            ORDER BY 1, 2
+        """,
+        # MinHash-LSH (stages/dedup.minhash_near_duplicates, threshold 0.8
+        # → pick_lsh_bands gives r=8 rows × b=16 bands) replayed in SQL,
+        # bit-for-bit: char-5-shingle hashes are poly-mod-2⁶⁴ (FNV-prime
+        # base, power literals below) + a murmur xor-shift-multiply
+        # finalizer (functions/text._char_kgram_hashes — ARX, so HUGEINT
+        # 32-bit-split mul-mod + UBIGINT xor/shift replay it exactly);
+        # one-permutation signatures bin by the TOP 7 hash bits (h >> 57,
+        # state/sketches.OnePermMinHasher), min per bin, empty bins
+        # rotation-densified from the nearest filled bin to the LEFT
+        # (wrap = rightmost filled) with value + dist·golden mod 2⁶⁴;
+        # band hashes fold 8 rows as Σ sig·golden^(7-r) mod 2⁶⁴ then >> 1;
+        # candidates split exactly as postings_pairs(overflow="chain"):
+        # band-hash runs of 2..64 docs all-pair, hotter runs emit the
+        # 2-hop chain over the doc-sorted run (lead() 1 and 2); the verify
+        # estimates signature agreement (k/128, round-half-up 6 — the
+        # pipeline uses round_half_up6 for exactly this replay), gates at
+        # margin 0.8·threshold (est grid has no value in (0.64, 0.640625],
+        # so > 0.64 is the same cut), and keeps exact shingle Jaccard
+        # ≥ 0.8 (docs with no shingles are all-MASK64 signatures; two
+        # empty docs have Jaccard 1.0, matching functions/text.jaccard).
+        "minhash_near_dups": r"""
+            WITH chars AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(coalesce(text, ''), '(?s).'),
+                           c -> CAST(unicode(c) AS HUGEINT)) AS cp
+                FROM documents
+            ),
+            gpos AS (
+                SELECT doc_id, cp, unnest(range(1, len(cp) - 3)) AS i
+                FROM chars WHERE len(cp) >= 5
+            ),
+            g0 AS (
+                SELECT doc_id,
+                       (cp[i]   * 11527715348014283921
+                      + cp[i+1] * 624165263380053675
+                      + cp[i+2] * 956575116354345
+                      + cp[i+3] * 1099511628211
+                      + cp[i+4]) % 18446744073709551616 AS z
+                FROM gpos
+            ),
+            g1 AS (SELECT doc_id,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 33) AS HUGEINT)
+                              AS z
+                   FROM g0),
+            g2 AS (SELECT doc_id,
+                          ((z % 4294967296) * 18397679294719823053
+                           + (((z // 4294967296) * 18397679294719823053)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM g1),
+            shing AS (
+                SELECT DISTINCT doc_id,
+                       xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 33)
+                           AS h
+                FROM g2
+            ),
+            binmin AS (
+                SELECT doc_id, CAST(h >> 57 AS BIGINT) AS bin, min(h) AS mn
+                FROM shing GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT d.doc_id, b.bin
+                FROM documents d
+                CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) b
+            ),
+            filled AS (
+                SELECT doc_id, bin, mn FROM binmin
+                WHERE mn <> CAST(18446744073709551615 AS UBIGINT)
+            ),
+            nearest AS (
+                SELECT g.doc_id, g.bin, f.mn,
+                       max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
+                           OVER (PARTITION BY g.doc_id ORDER BY g.bin)
+                           AS src_le,
+                       max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
+                           OVER (PARTITION BY g.doc_id) AS src_last
+                FROM grid g LEFT JOIN filled f USING (doc_id, bin)
+            ),
+            sigs AS (
+                SELECT n.doc_id, n.bin,
+                       CASE WHEN n.mn IS NOT NULL THEN n.mn
+                            WHEN n.src_last IS NULL
+                                 THEN CAST(18446744073709551615 AS UBIGINT)
+                            ELSE CAST((CAST(s.mn AS HUGEINT)
+                                       + ((n.bin
+                                           - coalesce(n.src_le, n.src_last)
+                                           + 128) % 128)
+                                         * 11400714819323198485)
+                                      % 18446744073709551616 AS UBIGINT)
+                       END AS sig
+                FROM nearest n
+                LEFT JOIN filled s ON s.doc_id = n.doc_id
+                                  AND s.bin = coalesce(n.src_le, n.src_last)
+            ),
+            bandh AS (
+                SELECT doc_id, bin // 8 AS band,
+                       CAST(CAST(sum(
+                           ((CAST(sig AS HUGEINT) % 4294967296)
+                                * CASE bin % 8
+                                      WHEN 0 THEN 6830608118596137501
+                                      WHEN 1 THEN 5469504572959700969
+                                      WHEN 2 THEN 3326886199428185477
+                                      WHEN 3 THEN 15655466665053923249
+                                      WHEN 4 THEN 6938460308862072877
+                                      WHEN 5 THEN 16088033396387240377
+                                      WHEN 6 THEN 11400714819323198485
+                                      ELSE 1 END
+                            + (((CAST(sig AS HUGEINT) // 4294967296)
+                                    * CASE bin % 8
+                                          WHEN 0 THEN 6830608118596137501
+                                          WHEN 1 THEN 5469504572959700969
+                                          WHEN 2 THEN 3326886199428185477
+                                          WHEN 3 THEN 15655466665053923249
+                                          WHEN 4 THEN 6938460308862072877
+                                          WHEN 5 THEN 16088033396387240377
+                                          WHEN 6 THEN 11400714819323198485
+                                          ELSE 1 END) % 4294967296)
+                               * 4294967296)
+                           % 18446744073709551616
+                       ) % 18446744073709551616 AS UBIGINT) >> 1 AS BIGINT)
+                           AS bh
+                FROM sigs GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT band, bh, count(*) AS df
+                      FROM bandh GROUP BY 1, 2),
+            cold AS (
+                SELECT ka.doc_id AS a, kb.doc_id AS b
+                FROM bandh ka
+                JOIN dfreq d ON d.band = ka.band AND d.bh = ka.bh
+                            AND d.df BETWEEN 2 AND 64
+                JOIN bandh kb ON kb.band = ka.band AND kb.bh = ka.bh
+                             AND ka.doc_id < kb.doc_id
+            ),
+            hot AS (
+                SELECT f.doc_id,
+                       lead(f.doc_id, 1) OVER w AS d1,
+                       lead(f.doc_id, 2) OVER w AS d2
+                FROM bandh f
+                JOIN dfreq d ON d.band = f.band AND d.bh = f.bh
+                            AND d.df > 64
+                WINDOW w AS (PARTITION BY f.band, f.bh ORDER BY f.doc_id)
+            ),
+            evidence AS (
+                SELECT a, b FROM cold
+                UNION ALL
+                SELECT doc_id, d1 FROM hot WHERE d1 IS NOT NULL
+                UNION ALL
+                SELECT doc_id, d2 FROM hot WHERE d2 IS NOT NULL
+            ),
+            cand AS (SELECT a, b FROM evidence GROUP BY 1, 2),
+            est AS (
+                SELECT c.a, c.b,
+                       round(CAST(sum(CASE WHEN sa.sig = sb.sig
+                                           THEN 1 ELSE 0 END) AS DOUBLE)
+                             / 128.0, 6) AS est_jaccard
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.a
+                JOIN sigs sb ON sb.doc_id = c.b AND sb.bin = sa.bin
+                GROUP BY 1, 2
+            ),
+            gated AS (SELECT a, b, est_jaccard FROM est
+                      WHERE est_jaccard > 0.64),
+            ssize AS (SELECT doc_id, count(*) AS sz
+                      FROM shing GROUP BY doc_id),
+            inter AS (
+                SELECT g.a, g.b, g.est_jaccard, count(xb.h) AS it
+                FROM gated g
+                LEFT JOIN shing xa ON xa.doc_id = g.a
+                LEFT JOIN shing xb ON xb.doc_id = g.b AND xb.h = xa.h
+                GROUP BY 1, 2, 3
+            ),
+            jac AS (
+                SELECT i.a, i.b, i.est_jaccard,
+                       CASE WHEN coalesce(sa.sz, 0) = 0
+                                 AND coalesce(sb.sz, 0) = 0
+                            THEN 1.0
+                            ELSE round(CAST(i.it AS DOUBLE)
+                                       / (coalesce(sa.sz, 0)
+                                          + coalesce(sb.sz, 0) - i.it), 6)
+                       END AS jaccard
+                FROM inter i
+                LEFT JOIN ssize sa ON sa.doc_id = i.a
+                LEFT JOIN ssize sb ON sb.doc_id = i.b
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   est_jaccard, jaccard
+            FROM jac WHERE jaccard >= 0.8
             ORDER BY 1, 2
         """,
         # the as-of sampled latency grid (event_freshness' distributed

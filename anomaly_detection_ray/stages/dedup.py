@@ -39,7 +39,12 @@ from anomaly_detection_ray.functions.hashing import (
     hash64,
     kr64_token_hashes,
 )
-from anomaly_detection_ray.functions.text import char_shingle_hashes, jaccard, word_ngram_sets
+from anomaly_detection_ray.functions.text import (
+    char_shingle_hashes,
+    jaccard,
+    round_half_up6,
+    word_ngram_sets,
+)
 from anomaly_detection_ray.state.sketches import (
     OnePermMinHasher,
     hamming64,
@@ -805,10 +810,13 @@ def minhash_near_duplicates(
         return (mh.hasher.signature(sh), sh)
 
     def score(fa, fb):
-        est = float(np.round(np.mean(fa[0] == fb[0]), 6))
+        # round_half_up6 (DuckDB round semantics), not np.round/round:
+        # est is dyadic (k/128 — a 7th-decimal HALF for every odd k) and
+        # half-to-even would diverge from the SQL oracle on each of them
+        est = round_half_up6(float(np.mean(fa[0] == fb[0])))
         if est < margin:
             return (est, np.nan)
-        return (est, round(jaccard(fa[1], fb[1]), 6))
+        return (est, round_half_up6(jaccard(fa[1], fb[1])))
 
     scored = verify_pairs(
         cand, docs, id_col, text_col, feature, score,

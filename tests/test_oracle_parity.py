@@ -49,7 +49,7 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 54 oracled queries for 50 slots).  Each parked entry must
+# (there are now 55 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
@@ -63,6 +63,9 @@ _PARKED_ORACLED = {
     # near_dup_dedup_exact (same recursive-CTE collapse); the size
     # histogram on top is one grouped count (in-window via daily_volume)
     "near_dup_cluster_sizes",
+    # pure per-row vectorized map, no distributed machinery; the int8
+    # quantize math is unit-pinned (parked for minhash_near_dups)
+    "embedding_quantize",
 }
 
 

@@ -315,6 +315,46 @@ class TestDedup:
             got[["a", "b", "hamming"]].astype("int64").reset_index(drop=True),
             want.reset_index(drop=True))
 
+    def test_minhash_sql_oracle_parity_on_hot_corpus(self):
+        """The minhash DuckDB oracle replays the whole pipeline — shingle
+        hashes, one-perm signatures + densification, band folds, the
+        hot-bucket chain split, the est gate and the exact-Jaccard verify
+        — bit-for-bit on a corpus where the chain branch fires (an
+        80-identical-doc cluster collides in EVERY band) and where empty
+        docs (all-MASK64 signatures, Jaccard 1.0) pair up."""
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        g = np.random.default_rng(3)
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep green forest tonight")
+        rows = [{"doc_id": i, "text": base} for i in range(80)]
+        rows += [{"doc_id": 200 + i,
+                  "text": base[:60] + " ".join(g.choice(list("abcdefgh"), 8))}
+                 for i in range(10)]
+        vocab = np.array(
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            .split())
+        rows += [{"doc_id": 400 + i, "text": " ".join(g.choice(vocab, 20))}
+                 for i in range(30)]
+        rows += [{"doc_id": 600, "text": ""}, {"doc_id": 601, "text": None}]
+        docs = pd.DataFrame(rows)
+
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.sql(entry.oracle_sql()["minhash_near_dups"]).df()
+        got = minhash_near_duplicates(
+            rd.from_pandas(docs).repartition(5), "text", "doc_id",
+            threshold=0.8)
+        # chain evidence: the 80-doc cluster yields its 2-hop links, not
+        # all 3160 pairs; the empty pair (600, 601) scores Jaccard 1.0
+        assert 100 < len(want) < 500
+        assert ((want["a"] == 600) & (want["b"] == 601)).any()
+        pd.testing.assert_frame_equal(
+            got.astype({"a": "int64", "b": "int64"}).reset_index(drop=True),
+            want.reset_index(drop=True))
+
 
 class TestReferential:
     def test_bloom_no_false_negatives(self):

@@ -124,7 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": textops.top_tokens,
         "doc_top_terms": textops.doc_top_terms,
         "benchmark_contamination": textops.benchmark_contamination,
-        "repetition_scores": textops.repetition_scores,
         "doc_length_stats": textops.doc_length_stats,
         "stratified_sample_docs": textops.stratified_sample_docs,
         "source_mixture_sample": textops.source_mixture_sample,
@@ -147,6 +146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hot-bucket chain and the est-gated exact-Jaccard verify all
         # replay in HUGEINT/UBIGINT SQL
         "minhash_near_dups": textops.minhash_near_dups,
+        # ...and the word-ngram LSH member (KR-mod-2⁶⁴ + SplitMix64 gram
+        # hashes, r=4/b=32 banding, min_shared_bands=2 prune, raw-estimate
+        # 0.48 gate, exact gram-Jaccard ≥ 0.6) — previously rows-only
+        # anchored by ngram_jaccard_exact, now value-hash oracled itself
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "top_ngrams_by_doc_freq": textops.top_ngrams_by_doc_freq,
         "sequence_pack_manifest": textops.sequence_pack_manifest,
         # vectors (oracled)
@@ -189,9 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed machinery); the int8 quantize math is unit-pinned
         # and the map_batches shape is in-window via every other query
         "embedding_quantize": vectors.embedding_quantize,
+        # parked for ngram_jaccard_dups: pure per-batch vectorized map,
+        # same shape as in-window quality_scores/language_id; the score
+        # formula is unit-pinned and still parity-verified every run
+        "repetition_scores": textops.repetition_scores,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
-        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "near_dup_dedup_docs": textops.near_dup_dedup_docs,
         "knn_label_counts": vectors.knn_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
@@ -381,6 +388,113 @@ def _detector_oracle_sqls() -> dict[str, str]:
 # split on \s+, no lowercasing, <3-word docs collapse to one whole-doc
 # gram, empty docs pair at similarity 1.0.  Shared by the pair query and
 # the connected-components collapse query so the two cannot diverge.
+# --- shared SQL fragments for the LSH near-dup oracles -------------------
+# golden^j mod 2^64 for j = 0..7 (the band-fold multiplier literals)
+_GOLD_POWS = [1, 11400714819323198485, 16088033396387240377,
+              6938460308862072877, 15655466665053923249,
+              3326886199428185477, 5469504572959700969,
+              6830608118596137501]
+
+# One-permutation MinHash signatures + rotation densification
+# (state/sketches.OnePermMinHasher replayed): requires a prior CTE
+# ``feat(doc_id, h UBIGINT)`` of per-doc distinct feature hashes, plus
+# ``documents``.  Top-7-bit binning (h >> 57), min per bin, empty bins
+# borrow from the nearest filled bin to the LEFT (wrap = rightmost
+# filled) with value + dist·golden mod 2⁶⁴; docs with no features are
+# all-MASK64.
+_ONEPERM_SIG_CTES = r"""
+    binmin AS (
+        SELECT doc_id, CAST(h >> 57 AS BIGINT) AS bin, min(h) AS mn
+        FROM feat GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, b.bin
+        FROM documents d CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) b
+    ),
+    filled AS (
+        SELECT doc_id, bin, mn FROM binmin
+        WHERE mn <> CAST(18446744073709551615 AS UBIGINT)
+    ),
+    nearest AS (
+        SELECT g.doc_id, g.bin, f.mn,
+               max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
+                   OVER (PARTITION BY g.doc_id ORDER BY g.bin) AS src_le,
+               max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
+                   OVER (PARTITION BY g.doc_id) AS src_last
+        FROM grid g LEFT JOIN filled f USING (doc_id, bin)
+    ),
+    sigs AS (
+        SELECT n.doc_id, n.bin,
+               CASE WHEN n.mn IS NOT NULL THEN n.mn
+                    WHEN n.src_last IS NULL
+                         THEN CAST(18446744073709551615 AS UBIGINT)
+                    ELSE CAST((CAST(s.mn AS HUGEINT)
+                               + ((n.bin - coalesce(n.src_le, n.src_last)
+                                   + 128) % 128)
+                                 * 11400714819323198485)
+                              % 18446744073709551616 AS UBIGINT)
+               END AS sig
+        FROM nearest n
+        LEFT JOIN filled s ON s.doc_id = n.doc_id
+                          AND s.bin = coalesce(n.src_le, n.src_last)
+    )
+"""
+
+# Candidate evidence split exactly as postings_pairs(overflow="chain"):
+# band-hash runs of 2..64 docs all-pair, hotter runs emit the 2-hop chain
+# over the doc-sorted run.  Requires a prior CTE ``bandh(doc_id, band, bh)``.
+_LSH_EVIDENCE_CTES = r"""
+    dfreq AS (SELECT band, bh, count(*) AS df FROM bandh GROUP BY 1, 2),
+    cold AS (
+        SELECT ka.doc_id AS a, kb.doc_id AS b
+        FROM bandh ka
+        JOIN dfreq d ON d.band = ka.band AND d.bh = ka.bh
+                    AND d.df BETWEEN 2 AND 64
+        JOIN bandh kb ON kb.band = ka.band AND kb.bh = ka.bh
+                     AND ka.doc_id < kb.doc_id
+    ),
+    hot AS (
+        SELECT f.doc_id,
+               lead(f.doc_id, 1) OVER w AS d1,
+               lead(f.doc_id, 2) OVER w AS d2
+        FROM bandh f
+        JOIN dfreq d ON d.band = f.band AND d.bh = f.bh AND d.df > 64
+        WINDOW w AS (PARTITION BY f.band, f.bh ORDER BY f.doc_id)
+    ),
+    evidence AS (
+        SELECT a, b FROM cold
+        UNION ALL
+        SELECT doc_id, d1 FROM hot WHERE d1 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, d2 FROM hot WHERE d2 IS NOT NULL
+    )
+"""
+
+
+def _bandh_cte(rows_per_band: int) -> str:
+    """``bandh`` CTE folding ``rows_per_band`` signature rows per band as
+    acc = Σ sig·golden^(rows−1−r) mod 2⁶⁴ then >> 1 (MinHashBands'
+    band_hashes replayed; the fold is linear, so the sequential
+    acc·golden + sig chain expands to power literals).  Each product uses
+    the HUGEINT 32-bit-split mul-mod trick."""
+    case = " ".join(
+        f"WHEN {r} THEN {_GOLD_POWS[rows_per_band - 1 - r]}"
+        for r in range(rows_per_band - 1)) + " ELSE 1 END"
+    g = f"CASE bin % {rows_per_band} {case}"
+    return f"""
+    bandh AS (
+        SELECT doc_id, bin // {rows_per_band} AS band,
+               CAST(CAST(sum(
+                   ((CAST(sig AS HUGEINT) % 4294967296) * {g}
+                    + (((CAST(sig AS HUGEINT) // 4294967296) * {g})
+                       % 4294967296) * 4294967296)
+                   % 18446744073709551616
+               ) % 18446744073709551616 AS UBIGINT) >> 1 AS BIGINT) AS bh
+        FROM sigs GROUP BY 1, 2
+    )
+"""
+
+
 _NGRAM_PAIR_CTES = r"""
     toks AS (
         SELECT doc_id,
@@ -670,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
         # so > 0.64 is the same cut), and keeps exact shingle Jaccard
         # ≥ 0.8 (docs with no shingles are all-MASK64 signatures; two
         # empty docs have Jaccard 1.0, matching functions/text.jaccard).
-        "minhash_near_dups": r"""
+        "minhash_near_dups": rf"""
             WITH chars AS (
                 SELECT doc_id,
                        list_transform(
@@ -702,105 +816,15 @@ def oracle_sql() -> dict[str, str]:
                               % 4294967296) * 4294967296)
                           % 18446744073709551616 AS z
                    FROM g1),
-            shing AS (
+            feat AS (
                 SELECT DISTINCT doc_id,
                        xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 33)
                            AS h
                 FROM g2
             ),
-            binmin AS (
-                SELECT doc_id, CAST(h >> 57 AS BIGINT) AS bin, min(h) AS mn
-                FROM shing GROUP BY 1, 2
-            ),
-            grid AS (
-                SELECT d.doc_id, b.bin
-                FROM documents d
-                CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) b
-            ),
-            filled AS (
-                SELECT doc_id, bin, mn FROM binmin
-                WHERE mn <> CAST(18446744073709551615 AS UBIGINT)
-            ),
-            nearest AS (
-                SELECT g.doc_id, g.bin, f.mn,
-                       max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
-                           OVER (PARTITION BY g.doc_id ORDER BY g.bin)
-                           AS src_le,
-                       max(CASE WHEN f.mn IS NOT NULL THEN g.bin END)
-                           OVER (PARTITION BY g.doc_id) AS src_last
-                FROM grid g LEFT JOIN filled f USING (doc_id, bin)
-            ),
-            sigs AS (
-                SELECT n.doc_id, n.bin,
-                       CASE WHEN n.mn IS NOT NULL THEN n.mn
-                            WHEN n.src_last IS NULL
-                                 THEN CAST(18446744073709551615 AS UBIGINT)
-                            ELSE CAST((CAST(s.mn AS HUGEINT)
-                                       + ((n.bin
-                                           - coalesce(n.src_le, n.src_last)
-                                           + 128) % 128)
-                                         * 11400714819323198485)
-                                      % 18446744073709551616 AS UBIGINT)
-                       END AS sig
-                FROM nearest n
-                LEFT JOIN filled s ON s.doc_id = n.doc_id
-                                  AND s.bin = coalesce(n.src_le, n.src_last)
-            ),
-            bandh AS (
-                SELECT doc_id, bin // 8 AS band,
-                       CAST(CAST(sum(
-                           ((CAST(sig AS HUGEINT) % 4294967296)
-                                * CASE bin % 8
-                                      WHEN 0 THEN 6830608118596137501
-                                      WHEN 1 THEN 5469504572959700969
-                                      WHEN 2 THEN 3326886199428185477
-                                      WHEN 3 THEN 15655466665053923249
-                                      WHEN 4 THEN 6938460308862072877
-                                      WHEN 5 THEN 16088033396387240377
-                                      WHEN 6 THEN 11400714819323198485
-                                      ELSE 1 END
-                            + (((CAST(sig AS HUGEINT) // 4294967296)
-                                    * CASE bin % 8
-                                          WHEN 0 THEN 6830608118596137501
-                                          WHEN 1 THEN 5469504572959700969
-                                          WHEN 2 THEN 3326886199428185477
-                                          WHEN 3 THEN 15655466665053923249
-                                          WHEN 4 THEN 6938460308862072877
-                                          WHEN 5 THEN 16088033396387240377
-                                          WHEN 6 THEN 11400714819323198485
-                                          ELSE 1 END) % 4294967296)
-                               * 4294967296)
-                           % 18446744073709551616
-                       ) % 18446744073709551616 AS UBIGINT) >> 1 AS BIGINT)
-                           AS bh
-                FROM sigs GROUP BY 1, 2
-            ),
-            dfreq AS (SELECT band, bh, count(*) AS df
-                      FROM bandh GROUP BY 1, 2),
-            cold AS (
-                SELECT ka.doc_id AS a, kb.doc_id AS b
-                FROM bandh ka
-                JOIN dfreq d ON d.band = ka.band AND d.bh = ka.bh
-                            AND d.df BETWEEN 2 AND 64
-                JOIN bandh kb ON kb.band = ka.band AND kb.bh = ka.bh
-                             AND ka.doc_id < kb.doc_id
-            ),
-            hot AS (
-                SELECT f.doc_id,
-                       lead(f.doc_id, 1) OVER w AS d1,
-                       lead(f.doc_id, 2) OVER w AS d2
-                FROM bandh f
-                JOIN dfreq d ON d.band = f.band AND d.bh = f.bh
-                            AND d.df > 64
-                WINDOW w AS (PARTITION BY f.band, f.bh ORDER BY f.doc_id)
-            ),
-            evidence AS (
-                SELECT a, b FROM cold
-                UNION ALL
-                SELECT doc_id, d1 FROM hot WHERE d1 IS NOT NULL
-                UNION ALL
-                SELECT doc_id, d2 FROM hot WHERE d2 IS NOT NULL
-            ),
+            {_ONEPERM_SIG_CTES},
+            {_bandh_cte(8)},
+            {_LSH_EVIDENCE_CTES},
             cand AS (SELECT a, b FROM evidence GROUP BY 1, 2),
             est AS (
                 SELECT c.a, c.b,
@@ -815,12 +839,12 @@ def oracle_sql() -> dict[str, str]:
             gated AS (SELECT a, b, est_jaccard FROM est
                       WHERE est_jaccard > 0.64),
             ssize AS (SELECT doc_id, count(*) AS sz
-                      FROM shing GROUP BY doc_id),
+                      FROM feat GROUP BY doc_id),
             inter AS (
                 SELECT g.a, g.b, g.est_jaccard, count(xb.h) AS it
                 FROM gated g
-                LEFT JOIN shing xa ON xa.doc_id = g.a
-                LEFT JOIN shing xb ON xb.doc_id = g.b AND xb.h = xa.h
+                LEFT JOIN feat xa ON xa.doc_id = g.a
+                LEFT JOIN feat xb ON xb.doc_id = g.b AND xb.h = xa.h
                 GROUP BY 1, 2, 3
             ),
             jac AS (
@@ -839,6 +863,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    est_jaccard, jaccard
             FROM jac WHERE jaccard >= 0.8
+            ORDER BY 1, 2
+        """,
+        # The word-ngram LSH member (pipelines/textops.ngram_jaccard_dups,
+        # threshold 0.6 → r=4/b=32 banding) replayed the same way: gram
+        # construction matches the ngram_jaccard_exact CTEs (split on \s+
+        # of the trimmed text, <3-word docs keep their full join as one
+        # gram), gram hashes are Karp-Rabin mod 2⁶⁴ + SplitMix64
+        # (functions/hashing.kr64_token_hashes — chosen over the keyed
+        # hash64 exactly so this replay exists), signatures/densification/
+        # band folds/chain split shared with the minhash oracle.  The
+        # estimate gate uses the RAW k/128 agreement (the pipeline only
+        # rounds the output jaccard): k/128 is exact in binary, and no
+        # grid value falls in (0.48, margin], so > 0.48 is the same cut;
+        # min_shared_bands=2 is the HAVING count(*) >= 2 prune.
+        "ngram_jaccard_dups": rf"""
+            WITH RECURSIVE
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            positions AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, greatest(len(ws) - 2,
+                           CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1))
+                           AS i
+                FROM toks
+            ),
+            gramsd AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                            ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       END AS gram
+                FROM positions
+            ),
+            dg AS (SELECT DISTINCT gram FROM gramsd),
+            mx AS (SELECT max(length(gram)) AS m FROM dg),
+            pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT m FROM mx) - 1
+            ),
+            tpos AS (
+                SELECT gram, length(gram) AS L,
+                       unnest(range(1, length(gram) + 1)) AS i
+                FROM dg
+            ),
+            kr AS (
+                SELECT gram,
+                       CAST(sum(CAST(unicode(substring(gram, i, 1))
+                                     AS HUGEINT) * pw.v)
+                            % 18446744073709551616 AS HUGEINT) AS z
+                FROM tpos JOIN pw ON pw.k = tpos.L - tpos.i
+                GROUP BY gram
+            ),
+            s0 AS (SELECT gram,
+                          (z + 11400714819323198485) % 18446744073709551616
+                              AS z
+                   FROM kr),
+            s1 AS (SELECT gram,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+                   FROM s0),
+            s2 AS (SELECT gram,
+                          ((z % 4294967296) * 13787848793156543929
+                           + (((z // 4294967296) * 13787848793156543929)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s1),
+            s3 AS (SELECT gram,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+                   FROM s2),
+            s4 AS (SELECT gram,
+                          ((z % 4294967296) * 10723151780598845931
+                           + (((z // 4294967296) * 10723151780598845931)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s3),
+            th AS (SELECT gram,
+                          xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31)
+                              AS h
+                   FROM s4),
+            feat AS (
+                SELECT DISTINCT g.doc_id, t.h
+                FROM gramsd g JOIN th t ON t.gram = g.gram
+            ),
+            {_ONEPERM_SIG_CTES},
+            {_bandh_cte(4)},
+            {_LSH_EVIDENCE_CTES},
+            cand AS (SELECT a, b FROM evidence
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+            est AS (
+                SELECT c.a, c.b,
+                       CAST(sum(CASE WHEN sa.sig = sb.sig
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                           / 128.0 AS est_raw
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.a
+                JOIN sigs sb ON sb.doc_id = c.b AND sb.bin = sa.bin
+                GROUP BY 1, 2
+            ),
+            gated AS (SELECT a, b FROM est WHERE est_raw > 0.48),
+            ssize AS (SELECT doc_id, count(*) AS sz
+                      FROM feat GROUP BY doc_id),
+            inter AS (
+                SELECT g.a, g.b, count(xb.h) AS it
+                FROM gated g
+                LEFT JOIN feat xa ON xa.doc_id = g.a
+                LEFT JOIN feat xb ON xb.doc_id = g.b AND xb.h = xa.h
+                GROUP BY 1, 2
+            ),
+            jac AS (
+                SELECT i.a, i.b,
+                       CASE WHEN coalesce(sa.sz, 0) = 0
+                                 AND coalesce(sb.sz, 0) = 0
+                            THEN 1.0
+                            ELSE round(CAST(i.it AS DOUBLE)
+                                       / (coalesce(sa.sz, 0)
+                                          + coalesce(sb.sz, 0) - i.it), 6)
+                       END AS ngram_jaccard
+                FROM inter i
+                LEFT JOIN ssize sa ON sa.doc_id = i.a
+                LEFT JOIN ssize sb ON sb.doc_id = i.b
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   ngram_jaccard
+            FROM jac WHERE ngram_jaccard >= 0.6
             ORDER BY 1, 2
         """,
         # the as-of sampled latency grid (event_freshness' distributed

@@ -15,7 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from anomaly_detection_ray.functions.hashing import hash64
+from anomaly_detection_ray.functions.hashing import hash64, kr64_token_hashes
 
 _WS = re.compile(r"\s+")
 #: BPE-ish pre-tokenizer: contractions, words, numbers, symbol runs, and
@@ -205,14 +205,21 @@ def word_ngram_strings(text: str, n: int = 3) -> set:
 
 
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashed word n-gram set of ONE document (sorted-unique uint64)."""
+    """Hashed word n-gram set of ONE document (sorted-unique uint64).
+
+    Grams hash with :func:`kr64_token_hashes` (Karp-Rabin mod 2⁶⁴ +
+    SplitMix64) rather than the keyed ``hash64``: the ARX form replays
+    bit-for-bit in DuckDB SQL, which lets the ``ngram_jaccard_dups`` LSH
+    pipeline be value-hash oracled end to end (the minhash/simhash
+    precedent); Jaccard over the hash set is unchanged modulo 2⁻⁶⁴
+    collisions either way."""
     ws = [w for w in _WS.split((text or "").strip()) if w]
     if not ws:
         return np.empty(0, dtype=np.uint64)
     if len(ws) < n:
-        return np.unique(hash64(np.array([" ".join(ws)], dtype=object)))
-    grams = np.array([" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)], dtype=object)
-    return np.unique(hash64(grams))
+        return np.unique(kr64_token_hashes([" ".join(ws)]))
+    grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    return np.unique(kr64_token_hashes(grams))
 
 
 def word_ngram_sets(texts: pd.Series, n: int = 3) -> list[np.ndarray]:

@@ -49,7 +49,7 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 55 oracled queries for 50 slots).  Each parked entry must
+# (there are now 56 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
@@ -66,6 +66,10 @@ _PARKED_ORACLED = {
     # pure per-row vectorized map, no distributed machinery; the int8
     # quantize math is unit-pinned (parked for minhash_near_dups)
     "embedding_quantize",
+    # pure per-batch vectorized map, same shape as in-window
+    # quality_scores/language_id; score formula unit-pinned (parked for
+    # ngram_jaccard_dups)
+    "repetition_scores",
 }
 
 

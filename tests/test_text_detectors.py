@@ -214,6 +214,53 @@ class TestNgramJaccardExactAnchor:
         joined = ngram_jaccard_dups(sf, broadcast_limit=0)
         pd.testing.assert_frame_equal(bcast, joined)
 
+    def test_ngram_sql_oracle_parity_on_hot_corpus(self, ray_session,
+                                                   tmp_path):
+        """The ngram_jaccard_dups DuckDB oracle replays gram hashing,
+        one-perm signatures, r=4/b=32 band folds, the min_shared_bands=2
+        prune, the hot-bucket chain split and the est-gated exact verify
+        bit-for-bit on a corpus where the chain branch fires (an
+        80-identical-doc cluster) and where empty docs pair at 1.0."""
+        import duckdb
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+        from anomaly_detection_ray.pipelines.textops import ngram_jaccard_dups
+
+        g = np.random.default_rng(5)
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+        base = " ".join(words)
+        rows = [(i, base) for i in range(80)]
+        for i in range(15):
+            w = list(words)
+            w[g.integers(len(w))] = f"pert{i}"
+            rows.append((200 + i, " ".join(w)))
+        rows += [(400 + i, " ".join(g.choice(np.array(words), 6)))
+                 for i in range(25)]
+        rows += [(600, ""), (601, None)]
+        ids, texts = zip(*rows)
+        d = tmp_path / "sfng"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)}),
+            str(d / "documents.parquet"))
+
+        got = ngram_jaccard_dups(str(d))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d / 'documents.parquet'}'")
+        want = con.sql(entry.oracle_sql()["ngram_jaccard_dups"]).df()
+        # chain evidence only for the 80-doc cluster, plus the empty pair
+        assert 100 < len(want) < 500
+        assert ((want["a"] == 600) & (want["b"] == 601)).any()
+        pd.testing.assert_frame_equal(
+            got.astype({"a": "int64", "b": "int64"}).reset_index(drop=True),
+            want.reset_index(drop=True))
+
     def test_multi_round_convergence_keeps_int_label_dtype(self, ray_session):
         """Regression: a failed structural check used to recycle labels
         through pd.concat with a node=None summary row, flipping whole

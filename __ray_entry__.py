@@ -131,7 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
         "ngram_jaccard_exact": textops.ngram_jaccard_exact,
-        "near_dup_dedup_exact": textops.near_dup_dedup_exact,
+        # the PRODUCTION collapse (LSH pairs → star-contraction components
+        # → min-id winners), value-hash oracled end to end now that the
+        # LSH pair set replays in SQL; the brute-force twin
+        # near_dup_dedup_exact parks below (same collapse machinery,
+        # verification-scale candidate path)
+        "near_dup_dedup_docs": textops.near_dup_dedup_docs,
         # winnowing is fully hash-checkable: Karp-Rabin mod 2³¹−1 k-gram
         # hashes + window-mins + the MOSS df-cap replay exactly in BIGINT SQL
         "winnow_near_dups": textops.winnow_near_dups,
@@ -197,9 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same shape as in-window quality_scores/language_id; the score
         # formula is unit-pinned and still parity-verified every run
         "repetition_scores": textops.repetition_scores,
+        # parked for near_dup_dedup_docs: same recursive-CTE collapse
+        # machinery, but its Python candidate path is the deliberately
+        # driver-gathered brute force (verification-scale tool); the
+        # production LSH collapse is in-window
+        "near_dup_dedup_exact": textops.near_dup_dedup_exact,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
-        "near_dup_dedup_docs": textops.near_dup_dedup_docs,
         "knn_label_counts": vectors.knn_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
@@ -536,6 +545,122 @@ _NGRAM_PAIR_SELECT = """
     UNION ALL
     SELECT e1.doc_id, e2.doc_id, 1.0
     FROM empty e1 JOIN empty e2 ON e1.doc_id < e2.doc_id
+"""
+
+
+_NGRAM_LSH_CTES = rf"""
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            positions AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, greatest(len(ws) - 2,
+                           CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1))
+                           AS i
+                FROM toks
+            ),
+            gramsd AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                            ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       END AS gram
+                FROM positions
+            ),
+            dg AS (SELECT DISTINCT gram FROM gramsd),
+            mx AS (SELECT max(length(gram)) AS m FROM dg),
+            pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
+                FROM pw WHERE k < (SELECT m FROM mx) - 1
+            ),
+            tpos AS (
+                SELECT gram, length(gram) AS L,
+                       unnest(range(1, length(gram) + 1)) AS i
+                FROM dg
+            ),
+            kr AS (
+                SELECT gram,
+                       CAST(sum(CAST(unicode(substring(gram, i, 1))
+                                     AS HUGEINT) * pw.v)
+                            % 18446744073709551616 AS HUGEINT) AS z
+                FROM tpos JOIN pw ON pw.k = tpos.L - tpos.i
+                GROUP BY gram
+            ),
+            s0 AS (SELECT gram,
+                          (z + 11400714819323198485) % 18446744073709551616
+                              AS z
+                   FROM kr),
+            s1 AS (SELECT gram,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+                   FROM s0),
+            s2 AS (SELECT gram,
+                          ((z % 4294967296) * 13787848793156543929
+                           + (((z // 4294967296) * 13787848793156543929)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s1),
+            s3 AS (SELECT gram,
+                          CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+                   FROM s2),
+            s4 AS (SELECT gram,
+                          ((z % 4294967296) * 10723151780598845931
+                           + (((z // 4294967296) * 10723151780598845931)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s3),
+            th AS (SELECT gram,
+                          xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31)
+                              AS h
+                   FROM s4),
+            feat AS (
+                SELECT DISTINCT g.doc_id, t.h
+                FROM gramsd g JOIN th t ON t.gram = g.gram
+            ),
+            {_ONEPERM_SIG_CTES},
+            {_bandh_cte(4)},
+            {_LSH_EVIDENCE_CTES},
+            cand AS (SELECT a, b FROM evidence
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+            est AS (
+                SELECT c.a, c.b,
+                       CAST(sum(CASE WHEN sa.sig = sb.sig
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                           / 128.0 AS est_raw
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.a
+                JOIN sigs sb ON sb.doc_id = c.b AND sb.bin = sa.bin
+                GROUP BY 1, 2
+            ),
+            gated AS (SELECT a, b FROM est WHERE est_raw > 0.48),
+            ssize AS (SELECT doc_id, count(*) AS sz
+                      FROM feat GROUP BY doc_id),
+            inter AS (
+                SELECT g.a, g.b, count(xb.h) AS it
+                FROM gated g
+                LEFT JOIN feat xa ON xa.doc_id = g.a
+                LEFT JOIN feat xb ON xb.doc_id = g.b AND xb.h = xa.h
+                GROUP BY 1, 2
+            ),
+            jac AS (
+                SELECT i.a, i.b,
+                       CASE WHEN coalesce(sa.sz, 0) = 0
+                                 AND coalesce(sb.sz, 0) = 0
+                            THEN 1.0
+                            ELSE round(CAST(i.it AS DOUBLE)
+                                       / (coalesce(sa.sz, 0)
+                                          + coalesce(sb.sz, 0) - i.it), 6)
+                       END AS ngram_jaccard
+                FROM inter i
+                LEFT JOIN ssize sa ON sa.doc_id = i.a
+                LEFT JOIN ssize sb ON sb.doc_id = i.b
+            )
 """
 
 
@@ -878,123 +1003,39 @@ def oracle_sql() -> dict[str, str]:
         # grid value falls in (0.48, margin], so > 0.48 is the same cut;
         # min_shared_bands=2 is the HAVING count(*) >= 2 prune.
         "ngram_jaccard_dups": rf"""
-            WITH RECURSIVE
-            toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           trim(coalesce(text, '')), '\s+'),
-                           x -> x <> '') AS ws
-                FROM documents
-            ),
-            positions AS (
-                SELECT doc_id, ws,
-                       unnest(range(1, greatest(len(ws) - 2,
-                           CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END) + 1))
-                           AS i
-                FROM toks
-            ),
-            gramsd AS (
-                SELECT DISTINCT doc_id,
-                       CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
-                            ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
-                       END AS gram
-                FROM positions
-            ),
-            dg AS (SELECT DISTINCT gram FROM gramsd),
-            mx AS (SELECT max(length(gram)) AS m FROM dg),
-            pw(k, v) AS (
-                SELECT 0, CAST(1 AS HUGEINT)
-                UNION ALL
-                SELECT k + 1, (v * 1099511628211) % 18446744073709551616
-                FROM pw WHERE k < (SELECT m FROM mx) - 1
-            ),
-            tpos AS (
-                SELECT gram, length(gram) AS L,
-                       unnest(range(1, length(gram) + 1)) AS i
-                FROM dg
-            ),
-            kr AS (
-                SELECT gram,
-                       CAST(sum(CAST(unicode(substring(gram, i, 1))
-                                     AS HUGEINT) * pw.v)
-                            % 18446744073709551616 AS HUGEINT) AS z
-                FROM tpos JOIN pw ON pw.k = tpos.L - tpos.i
-                GROUP BY gram
-            ),
-            s0 AS (SELECT gram,
-                          (z + 11400714819323198485) % 18446744073709551616
-                              AS z
-                   FROM kr),
-            s1 AS (SELECT gram,
-                          CAST(xor(CAST(z AS UBIGINT),
-                                   CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
-                   FROM s0),
-            s2 AS (SELECT gram,
-                          ((z % 4294967296) * 13787848793156543929
-                           + (((z // 4294967296) * 13787848793156543929)
-                              % 4294967296) * 4294967296)
-                          % 18446744073709551616 AS z
-                   FROM s1),
-            s3 AS (SELECT gram,
-                          CAST(xor(CAST(z AS UBIGINT),
-                                   CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
-                   FROM s2),
-            s4 AS (SELECT gram,
-                          ((z % 4294967296) * 10723151780598845931
-                           + (((z // 4294967296) * 10723151780598845931)
-                              % 4294967296) * 4294967296)
-                          % 18446744073709551616 AS z
-                   FROM s3),
-            th AS (SELECT gram,
-                          xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31)
-                              AS h
-                   FROM s4),
-            feat AS (
-                SELECT DISTINCT g.doc_id, t.h
-                FROM gramsd g JOIN th t ON t.gram = g.gram
-            ),
-            {_ONEPERM_SIG_CTES},
-            {_bandh_cte(4)},
-            {_LSH_EVIDENCE_CTES},
-            cand AS (SELECT a, b FROM evidence
-                     GROUP BY 1, 2 HAVING count(*) >= 2),
-            est AS (
-                SELECT c.a, c.b,
-                       CAST(sum(CASE WHEN sa.sig = sb.sig
-                                     THEN 1 ELSE 0 END) AS DOUBLE)
-                           / 128.0 AS est_raw
-                FROM cand c
-                JOIN sigs sa ON sa.doc_id = c.a
-                JOIN sigs sb ON sb.doc_id = c.b AND sb.bin = sa.bin
-                GROUP BY 1, 2
-            ),
-            gated AS (SELECT a, b FROM est WHERE est_raw > 0.48),
-            ssize AS (SELECT doc_id, count(*) AS sz
-                      FROM feat GROUP BY doc_id),
-            inter AS (
-                SELECT g.a, g.b, count(xb.h) AS it
-                FROM gated g
-                LEFT JOIN feat xa ON xa.doc_id = g.a
-                LEFT JOIN feat xb ON xb.doc_id = g.b AND xb.h = xa.h
-                GROUP BY 1, 2
-            ),
-            jac AS (
-                SELECT i.a, i.b,
-                       CASE WHEN coalesce(sa.sz, 0) = 0
-                                 AND coalesce(sb.sz, 0) = 0
-                            THEN 1.0
-                            ELSE round(CAST(i.it AS DOUBLE)
-                                       / (coalesce(sa.sz, 0)
-                                          + coalesce(sb.sz, 0) - i.it), 6)
-                       END AS ngram_jaccard
-                FROM inter i
-                LEFT JOIN ssize sa ON sa.doc_id = i.a
-                LEFT JOIN ssize sb ON sb.doc_id = i.b
-            )
+            WITH RECURSIVE {_NGRAM_LSH_CTES}
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    ngram_jaccard
             FROM jac WHERE ngram_jaccard >= 0.6
             ORDER BY 1, 2
+        """,
+        # THE production near-dup collapse (LSH candidates → distributed
+        # star-contraction components → min-id winner per component): the
+        # same recursive min-label propagation as near_dup_dedup_exact,
+        # but over the now-fully-replayable LSH pair set above — so the
+        # 100-TB path itself is value-hash oracled, not just its
+        # brute-force verification twin.
+        "near_dup_dedup_docs": rf"""
+            WITH RECURSIVE {_NGRAM_LSH_CTES},
+            pairs AS (
+                SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+                FROM jac WHERE ngram_jaccard >= 0.6
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, m) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node, min(m) AS root FROM reach GROUP BY node)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE root <> node)
+            ORDER BY d.doc_id
         """,
         # the as-of sampled latency grid (event_freshness' distributed
         # core): grid point k = the type's latest event minus k hours,

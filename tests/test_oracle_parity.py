@@ -49,7 +49,7 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 56 oracled queries for 50 slots).  Each parked entry must
+# (there are now 57 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
@@ -70,6 +70,10 @@ _PARKED_ORACLED = {
     # quality_scores/language_id; score formula unit-pinned (parked for
     # ngram_jaccard_dups)
     "repetition_scores",
+    # same recursive-CTE collapse machinery as the in-window production
+    # path near_dup_dedup_docs; its Python side is the deliberately
+    # driver-gathered brute-force verification tool
+    "near_dup_dedup_exact",
 }
 
 

@@ -1,10 +1,12 @@
 """Text-analysis pipelines over the documents table.
 
 Training-data text ops (token counting, quality, language-ID,
-fingerprinting, near-dup detection) as Ray Data stages.  Oracle-SQL-
-expressible results (token counts, md5 fingerprints, length stats) are
-shaped to match DuckDB; heuristic ops (langid, quality score, near-dups)
-are rows-only checks verified by unit tests on synthetic corpora.
+fingerprinting, near-dup detection) as Ray Data stages.  Nearly every
+pipeline here is DuckDB-value-hash oracled (__ray_entry__.oracle_sql)
+— including, since round 5, the whole LSH near-dup family (minhash /
+simhash / ngram / winnow and the production collapse), whose
+ARX-mod-2⁶⁴ hashes replay exactly in HUGEINT/UBIGINT SQL; the few
+rows-only remainders are pinned by unit tests on synthetic corpora.
 """
 
 from __future__ import annotations
@@ -440,7 +442,8 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def language_id(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language-ID distribution (rows-only; deterministic)."""
+    """Heuristic language-ID distribution (DuckDB-oracled: the decision
+    tree is mirrored in SQL)."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def lid(df: pd.DataFrame) -> pd.DataFrame:
@@ -453,7 +456,8 @@ def language_id(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_scores(sf_dir: str) -> pd.DataFrame:
-    """Composite quality score per doc (rows-only; deterministic)."""
+    """Composite quality score per doc (DuckDB-oracled: bit-exact score
+    formula over RE2-countable tokens)."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def q(df: pd.DataFrame) -> pd.DataFrame:
@@ -607,8 +611,11 @@ def near_dup_dedup_docs(sf_dir: str, threshold: float = 0.6, n: int = 3) -> pd.D
     detection: word-n-gram Jaccard pairs → connected components
     (union-find over the O(near-dups) pair list) → keep the MIN doc_id
     per component, all unpaired docs untouched.  Scale path: pairs come
-    from the LSH candidate generator (``ngram_jaccard_dups``); the exact
-    twin below is the oracled anchor."""
+    from the LSH candidate generator (``ngram_jaccard_dups``) — itself
+    SQL-replayable since round 5, so THIS production path is
+    DuckDB-value-hash oracled directly (recursive-CTE components over
+    the replayed LSH pair set); the exact twin below double-anchors the
+    collapse on brute-force pairs."""
     return _collapse_pairs(sf_dir, ngram_jaccard_dups(sf_dir, threshold, n))
 
 
@@ -745,8 +752,11 @@ def sequence_pack_manifest(sf_dir: str, seq_len: int = 2048,
 
 
 def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-duplicate pairs (rows-only; unit-tested on a
-    synthetic near-dup corpus in tests/test_dedup.py)."""
+    """MinHash-LSH near-duplicate pairs — DuckDB-value-hash oracled end
+    to end (one-perm signatures, densification, band folds, chain-mode
+    hot buckets and the est-gated exact verify all replay in SQL; see
+    __ray_entry__.oracle_sql()["minhash_near_dups"]) and unit-tested on
+    synthetic near-dup corpora."""
     from anomaly_detection_ray.stages.dedup import minhash_near_duplicates
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -754,7 +764,9 @@ def minhash_near_dups(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_near_dups(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-duplicate pairs (rows-only)."""
+    """SimHash near-duplicate pairs — DuckDB-value-hash oracled (the
+    KR-mod-2⁶⁴ + SplitMix64 token hashes, band buckets, hot-bucket chain
+    and Hamming≤3 verify replay in SQL)."""
     from anomaly_detection_ray.stages.dedup import simhash_near_duplicates
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])

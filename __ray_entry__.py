@@ -126,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": textops.benchmark_contamination,
         "doc_length_stats": textops.doc_length_stats,
         "stratified_sample_docs": textops.stratified_sample_docs,
-        "source_mixture_sample": textops.source_mixture_sample,
         "curated_docs": textops.curated_docs,
         "language_id": textops.language_id,
         "quality_scores": textops.quality_scores,
@@ -174,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + suffix-min as-of), hash-anchored; the verdict layer on top is
         # pure-function and pinned by tests
         "event_latency_grid": history.event_latency_grid,
+        # the mergeable-sketch machinery anchor: per-block HLL partials +
+        # register-max merge, splitmix64-hashed so registers AND the
+        # estimator (exact integer harmonic sum, linear-counting ln)
+        # replay float-for-float in SQL
+        "hll_distinct_users": history.hll_distinct_users,
         # ingest-history chain (oracled over the synthetic history table)
         "daily_history_volumes": lambda sf_dir: history.daily_history_volumes(),
         "history_update_commits": lambda sf_dir: history.history_update_commits(),
@@ -207,12 +211,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-gathered brute force (verification-scale tool); the
         # production LSH collapse is in-window
         "near_dup_dedup_exact": textops.near_dup_dedup_exact,
+        # parked for hll_distinct_users: same bounded per-block
+        # quota-partial machinery as in-window stratified_sample_docs,
+        # and the mixture stage runs end-to-end inside the oracled
+        # curated_docs chain
+        "source_mixture_sample": textops.source_mixture_sample,
         # ----- rows-only entries below (no oracle_sql twin; each anchored
         # ----- by an oracled exact twin above and/or planted-truth tests)
         "knn_label_counts": vectors.knn_label_counts,
         "ivf_knn_label_counts": vectors.ivf_knn_label_counts,
         "embedding_near_dups": vectors.embedding_near_dups,
-        "hll_distinct_users": history.hll_distinct_users,
         "value_quantiles": history.value_quantiles,
         "events_drift_halves": history.events_drift_halves,
         # multimodal binary columns (rows-only; decode pinned by unit tests)
@@ -1015,6 +1023,102 @@ def oracle_sql() -> dict[str, str]:
         # but over the now-fully-replayable LSH pair set above — so the
         # 100-TB path itself is value-hash oracled, not just its
         # brute-force verification twin.
+        # HyperLogLog (Flajolet et al. 2007, p=14) replayed in SQL against
+        # state/sketches.HyperLogLog + pipelines/history.hll_distinct_users:
+        # ids hash with SplitMix64 (ARX mod 2⁶⁴ — the HUGEINT/UBIGINT
+        # replay), register index = top 14 hash bits, rank =
+        # min(clz(h<<14)+1, 51) via a 6-step MSB binary search, registers
+        # reduce by max.  The estimator replays FLOAT-for-float because the
+        # Python side accumulates the harmonic sum as the exact integer
+        # Σ count(r)·2^(64−r) (zeros contribute 2⁶⁴ each) before ONE
+        # correctly-rounded division — the same HUGEINT sum here — and the
+        # linear-counting branch m·ln(m/zeros) hits the same libm on both
+        # sides.  Negative ids wrap to uint64 like numpy's astype.
+        "hll_distinct_users": r"""
+            WITH h0 AS (
+                SELECT ((CAST(user_id AS HUGEINT) % 18446744073709551616
+                         + 18446744073709551616) % 18446744073709551616
+                        + 11400714819323198485) % 18446744073709551616 AS z
+                FROM events
+            ),
+            s1 AS (SELECT CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 30) AS HUGEINT)
+                              AS z
+                   FROM h0),
+            s2 AS (SELECT ((z % 4294967296) * 13787848793156543929
+                           + (((z // 4294967296) * 13787848793156543929)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s1),
+            s3 AS (SELECT CAST(xor(CAST(z AS UBIGINT),
+                                   CAST(z AS UBIGINT) >> 27) AS HUGEINT)
+                              AS z
+                   FROM s2),
+            s4 AS (SELECT ((z % 4294967296) * 10723151780598845931
+                           + (((z // 4294967296) * 10723151780598845931)
+                              % 4294967296) * 4294967296)
+                          % 18446744073709551616 AS z
+                   FROM s3),
+            th AS (SELECT xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31)
+                              AS h
+                   FROM s4),
+            cells AS (
+                SELECT CAST(h >> 50 AS BIGINT) AS idx,
+                       CAST((CAST(h AS HUGEINT) * 16384)
+                            % 18446744073709551616 AS UBIGINT) AS t
+                FROM th
+            ),
+            bl AS (
+                SELECT idx, t,
+                       CASE WHEN t >= 4294967296 THEN 32 ELSE 0 END AS b1
+                FROM cells
+            ),
+            b2 AS (SELECT idx, t >> b1 AS t, b1,
+                          CASE WHEN (t >> b1) >= 65536 THEN 16 ELSE 0 END
+                              AS b
+                   FROM bl),
+            b3 AS (SELECT idx, t >> b AS t, b1 + b AS acc,
+                          CASE WHEN (t >> b) >= 256 THEN 8 ELSE 0 END AS b
+                   FROM b2),
+            b4 AS (SELECT idx, t >> b AS t, acc + b AS acc,
+                          CASE WHEN (t >> b) >= 16 THEN 4 ELSE 0 END AS b
+                   FROM b3),
+            b5 AS (SELECT idx, t >> b AS t, acc + b AS acc,
+                          CASE WHEN (t >> b) >= 4 THEN 2 ELSE 0 END AS b
+                   FROM b4),
+            b6 AS (SELECT idx, t >> b AS t, acc + b AS acc,
+                          CASE WHEN (t >> b) >= 2 THEN 1 ELSE 0 END AS b
+                   FROM b5),
+            ranks AS (
+                SELECT idx,
+                       least(64 - (acc + b + CAST(t >> b AS BIGINT)) + 1,
+                             51) AS rank
+                FROM b6
+            ),
+            regs AS (SELECT idx, max(rank) AS r FROM ranks GROUP BY idx),
+            rcnt AS (SELECT r, count(*) AS c FROM regs GROUP BY r),
+            tot AS (
+                SELECT CAST(16384 - coalesce(sum(c), 0) AS BIGINT) AS zeros,
+                       coalesce(sum(CAST(c AS HUGEINT)
+                                    * (CAST(1 AS HUGEINT) << (64 - r))), 0)
+                       + (16384 - coalesce(sum(c), 0))
+                         * (CAST(1 AS HUGEINT) << 64) AS num
+                FROM rcnt
+            ),
+            est AS (
+                SELECT zeros,
+                       (0.7213 / (1 + 1.079 / 16384.0)) * 16384.0 * 16384.0
+                           / (CAST(num AS DOUBLE) / 18446744073709551616.0)
+                           AS raw
+                FROM tot
+            )
+            SELECT 'user_id' AS col_name,
+                   CAST(round(CASE WHEN raw <= 2.5 * 16384.0 AND zeros > 0
+                                   THEN 16384.0 * ln(16384.0 / zeros)
+                                   ELSE raw END, 0) AS BIGINT)
+                       AS distinct_est
+            FROM est
+        """,
         "near_dup_dedup_docs": rf"""
             WITH RECURSIVE {_NGRAM_LSH_CTES},
             pairs AS (

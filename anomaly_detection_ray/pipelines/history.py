@@ -537,15 +537,36 @@ def drift_halves_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """HLL distinct-count estimate of user_id (tests assert ≤2% error vs
-    exact; rows-only for the driver)."""
-    from anomaly_detection_ray.stages.stats import column_stats
+    """HLL distinct-count estimate of user_id — the sketch machinery
+    anchor: per-block HLL PARTIALS (the mergeable-sketch shape every
+    100-TB distinct-count runs) reduced by register-max merge, O(blocks)
+    driver state.
 
-    stats = column_stats(sf_table(sf_dir, "events", columns=["user_id"]),
-                         ["user_id"]).to_pandas()
+    DuckDB-value-hash oracled: ids hash with :func:`splitmix64` (ARX mod
+    2⁶⁴, SQL-replayable — unlike the keyed ``hash64`` the generic
+    column_stats path uses), registers replay as max-rank per top-14-bit
+    index, and the estimator replays float-for-float (the exact integer
+    harmonic accumulation in ``HyperLogLog.estimate`` plus linear
+    counting's ``m·ln(m/zeros)``, both IEEE-identical across numpy and
+    DuckDB).  Tests also assert ≤2% error vs the exact count."""
+    from anomaly_detection_ray.functions.hashing import splitmix64
+    from anomaly_detection_ray.state.sketches import HyperLogLog, Sketch
+
+    ds = sf_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog()
+        h.add_hashes(splitmix64(df["user_id"].to_numpy().astype(np.uint64)))
+        return pd.DataFrame({"blob": [h.to_bytes()]})
+
+    blobs = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    acc = HyperLogLog()
+    for b in blobs["blob"]:
+        acc.merge(Sketch.from_bytes(b))
     return pd.DataFrame({
         "col_name": ["user_id"],
-        "distinct_est": [int(round(stats["distinct_est"].iloc[0]))],
+        "distinct_est": [int(round(acc.estimate()))],
     })
 
 

@@ -131,11 +131,22 @@ class HyperLogLog(Sketch):
             alpha = 0.697
         else:
             alpha = 0.673
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
-        raw = alpha * m * m / inv.sum()
-        zeros = int((self.registers == 0).sum())
+        # The harmonic sum Σ 2^-reg is accumulated EXACTLY as the integer
+        # Σ count(reg=r)·2^(64−r) then divided by 2^64 (one correctly-
+        # rounded float op; /2^64 scaling is exact) instead of a float
+        # reduction: float-sum order (numpy pairwise vs sequential) moves
+        # the last ULP, and the DuckDB oracle for hll_distinct_users
+        # replays this sum with the same HUGEINT accumulation, so both
+        # sides land on the identical double.
+        cnt = np.bincount(self.registers.astype(np.int64), minlength=65)
+        num = 0
+        for r, c in enumerate(cnt.tolist()):
+            if c:
+                num += c << (64 - r)
+        raw = alpha * m * m / (num / float(1 << 64))
+        zeros = int(cnt[0])
         if raw <= 2.5 * m and zeros > 0:
-            return m * np.log(m / zeros)
+            return m * float(np.log(m / zeros))
         return float(raw)
 
 

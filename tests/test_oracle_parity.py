@@ -49,7 +49,7 @@ def test_every_oracle_has_query():
 
 
 # oracled entries deliberately parked past the driver's 50-row window
-# (there are now 57 oracled queries for 50 slots).  Each parked entry must
+# (there are now 58 oracled queries for 50 slots).  Each parked entry must
 # have its machinery exercised by an in-window sibling; this parity suite
 # still verifies the parked ones every run.
 _PARKED_ORACLED = {
@@ -74,6 +74,10 @@ _PARKED_ORACLED = {
     # path near_dup_dedup_docs; its Python side is the deliberately
     # driver-gathered brute-force verification tool
     "near_dup_dedup_exact",
+    # same bounded per-block quota-partial machinery as in-window
+    # stratified_sample_docs; the mixture stage also runs inside the
+    # oracled curated_docs chain (parked for hll_distinct_users)
+    "source_mixture_sample",
 }
 
 

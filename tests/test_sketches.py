@@ -279,3 +279,29 @@ def test_freq_merge_overflow_retains_heavy_hitters():
     assert "zz_heavy" in a.counts, "heavy hitter dumped into __other__"
     assert a.counts["zz_heavy"] == 1000
     assert a.total == 8 + 5 + 1000
+
+
+def test_sql_replayable_hash_pins():
+    """Pin the ARX-mod-2⁶⁴ hash kernels with literal vectors: the DuckDB
+    oracles for the LSH near-dup family and the HLL sketch embed these
+    algorithms as SQL constants, so ANY change to the Python side
+    silently breaks value-hash parity — this test makes it loud."""
+    import numpy as np
+
+    from anomaly_detection_ray.functions.hashing import (
+        kr64_token_hashes,
+        splitmix64,
+    )
+    from anomaly_detection_ray.functions.text import char_shingle_hashes
+
+    assert [int(x) for x in splitmix64(
+        np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64))] == [
+        16294208416658607535, 10451216379200822465,
+        5196802822362493915, 16490336266968443936]
+    # non-empty tokens only (the documented contract: an empty token
+    # would alias its neighbor through reduceat's empty-segment rule)
+    assert [int(x) for x in kr64_token_hashes(["a", "the quick"])] == [
+        5718913436695043505, 8056682574088413018]
+    # poly-mod-2⁶⁴ + murmur finalizer over 5-char shingles
+    assert [int(x) for x in char_shingle_hashes("abcdef", 5)] == [
+        10771257853838465416, 17157846095354578881]
